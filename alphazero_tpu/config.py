@@ -1,0 +1,108 @@
+"""Typed configuration for the whole framework.
+
+The reference has no config system: 15 positional ``Coach::setup`` args plus
+4 ``learn`` args hard-coded in the example binary
+(reference: examples/connect_four.rs:55-77) and scattered consts
+(node.rs:12-13, connect_four_game.rs:13-16). Here every knob lives in one
+nested frozen dataclass so a run is reproducible from a single object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# PUCT exploration epsilon, kept verbatim from the reference
+# (reference: src/node.rs:12  `EPS: f32 = 1e-6`).
+PUCT_EPS = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    """Search hyperparameters (reference: src/async_mcts.rs:14-24).
+
+    The reference's ``num_threads`` (intra-tree thread parallelism with
+    virtual loss, async_mcts.rs:191-217) has no analogue: the lockstep
+    vectorized search issues exactly one simulation per game per step, so
+    virtual loss is unnecessary by construction (SURVEY.md §2 parallelism
+    table).
+    """
+
+    num_sims: int = 100          # simulations per move (async_mcts.rs:17)
+    cpuct: float = 1.0           # exploration constant (async_mcts.rs:20)
+    max_depth: int = 64          # descent depth cutoff -> eval_heuristic
+    #                              (async_mcts.rs:241-243); also the path
+    #                              buffer length, so it bounds backup length.
+    max_nodes: Optional[int] = None  # tree capacity per game; default
+    #                              num_sims + 1 (one expansion per sim).
+    #                              Reference pre-allocates `reserve_space`
+    #                              (examples/connect_four.rs:57: 1M nodes).
+    dirichlet_alpha: Optional[float] = None  # root noise; the reference has
+    #                              none — optional extension, default off.
+    dirichlet_frac: float = 0.25
+
+    @property
+    def nodes(self) -> int:
+        return self.max_nodes if self.max_nodes is not None else self.num_sims + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class SelfPlayConfig:
+    """Self-play episode generation (reference: src/coach.rs:104-157)."""
+
+    batch_size: int = 1024       # games stepped in lockstep (replaces
+    #                              num_eps × rayon threads, coach.rs:202-272)
+    temp_threshold: int = 15     # temp=1 before this move index, 0 after
+    #                              (coach.rs:122-126)
+    max_moves: Optional[int] = None  # defaults to game.max_moves
+
+
+@dataclasses.dataclass(frozen=True)
+class ReplayConfig:
+    """Replay history (reference: coach.rs:18-34, 275-289).
+
+    The reference keeps a deque of per-iteration deques with
+    ``max_history_length`` iterations × ``max_queue_length`` samples. Here
+    the replay is a single fixed-capacity on-device ring buffer; capacity
+    plays the role of history_length × queue_length.
+    """
+
+    capacity: int = 1 << 18
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Learner (reference: examples/connect_four_lib/connect_four_net.py:13-15
+    — epochs=10, batch=64, lr=1e-3, Adam)."""
+
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+    steps_per_iteration: int = 256   # minibatch SGD steps per coach iteration
+    weight_decay: float = 0.0
+    l2_scale: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class ArenaConfig:
+    """Model gating (reference: src/arena.rs + coach.rs:332-390)."""
+
+    num_games: int = 128         # total head-to-head games; half with each
+    #                              seating order (arena.rs:74-79)
+    update_threshold: float = 0.6  # accept iff new_wins/(new+old) >= this
+    #                              (coach.rs:383-390)
+    num_sims: Optional[int] = None  # arena search budget; defaults to MCTS's
+
+
+@dataclasses.dataclass(frozen=True)
+class AZConfig:
+    """Top-level run configuration."""
+
+    mcts: MCTSConfig = dataclasses.field(default_factory=MCTSConfig)
+    selfplay: SelfPlayConfig = dataclasses.field(default_factory=SelfPlayConfig)
+    replay: ReplayConfig = dataclasses.field(default_factory=ReplayConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    arena: ArenaConfig = dataclasses.field(default_factory=ArenaConfig)
+    num_iterations: int = 10     # coach outer-loop iterations (num_iters,
+    #                              examples/connect_four.rs:66)
+    seed: int = 0
+    checkpoint_dir: Optional[str] = None
