@@ -1,0 +1,245 @@
+"""Lockstep vectorized PUCT search — the TPU-native AsyncMcts.
+
+Re-design of the reference's parallel tree search (reference:
+src/async_mcts.rs:14-372). The reference keeps a CPU busy around a slow NN
+by running ``num_threads`` searcher threads against one batching inference
+service thread connected by channels (async_mcts.rs:117-217). On TPU the
+whole construction inverts: ``B`` independent game trees advance **one
+simulation per step, in lockstep, under one ``jit``** — selection is a
+batched PUCT argmax, expansion is a masked scatter, the NN forward pass on
+all ``B`` leaves is *inlined* (replacing the channel round-trip
+async_mcts.rs:305-315), and backup is one scatter-add along the recorded
+paths. No locks, no virtual loss, no queues.
+
+Intended-semantics fidelity (SURVEY.md §8): the PUCT formula is
+node.rs:352-356 verbatim (``Q + cpuct * P[a] * sqrt(N_parent + EPS) /
+(1 + N_child)`` with EPS = 1e-6); depth cutoff backs up ``eval_heuristic``
+(async_mcts.rs:241-243); terminal nodes break the descent and back up their
+stored value (async_mcts.rs:246-249); masked-softmax priors with
+uniform-over-valids fallback (async_mcts.rs:319-345). Backup applies
+**negamax sign alternation** — fixing defect D5 (async_mcts.rs:361-370
+applied the same value at every level).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.config import MCTSConfig, PUCT_EPS
+from alphazero_tpu.mcts.tree import Tree, init_tree
+from alphazero_tpu.ops import masked_policy
+
+# apply_fn(params, features[B, ...]) -> (logits[B, A], value[B])
+ApplyFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+def puct_scores(
+    n_row: jax.Array,
+    w_row: jax.Array,
+    p_row: jax.Array,
+    valid_row: jax.Array,
+    cpuct: float,
+) -> jax.Array:
+    """Batched PUCT over one node row (node.rs:343-370 best_child).
+
+    Q of an unvisited edge is 0 (the reference's packed-counter decode is
+    0-centered for N=0). Invalid actions score -inf.
+    """
+    n_f = n_row.astype(jnp.float32)
+    q = w_row / jnp.maximum(n_f, 1.0)
+    n_parent = jnp.sum(n_f, axis=-1, keepdims=True)
+    u = cpuct * p_row * jnp.sqrt(n_parent + PUCT_EPS) / (1.0 + n_f)
+    return jnp.where(valid_row, q + u, -jnp.inf)
+
+
+def make_search_fn(
+    game,
+    apply_fn: ApplyFn,
+    cfg: MCTSConfig,
+):
+    """Build ``search(params, root_state, rng) -> Tree``.
+
+    ``root_state`` is a batched game-state pytree (leaves ``[B, ...]``).
+    The returned function is jit/vmap/shard_map-friendly: fixed shapes,
+    ``lax`` control flow only. Root priors are installed up front
+    (async_mcts.rs's intended first-expansion of the root, defect D1), with
+    optional Dirichlet exploration noise (not present in the reference;
+    off by default).
+    """
+    A = game.num_actions
+    C = cfg.nodes
+    D = cfg.max_depth
+    cpuct = float(cfg.cpuct)
+
+    step_v = jax.vmap(game.step)
+    valid_v = jax.vmap(game.valid_moves)
+    term_v = jax.vmap(game.terminal)
+    feat_v = jax.vmap(game.to_features)
+    heur_v = jax.vmap(game.eval_heuristic)
+
+    def _select(tree: Tree):
+        """Descend every tree to its frontier; record paths.
+
+        Returns the per-game descent record: path buffers, depth, and the
+        disposition masks (expand / terminal-hit / depth-cutoff).
+        """
+        B = tree.batch_size
+        bidx = jnp.arange(B)
+
+        def cond(c):
+            return jnp.any(c["active"])
+
+        def body(c):
+            n = c["node"]
+            n_row = tree.N[bidx, n]
+            score = puct_scores(
+                n_row, tree.W[bidx, n], tree.P[bidx, n], tree.valid[bidx, n], cpuct
+            )
+            a = jnp.argmax(score, axis=-1).astype(jnp.int32)
+            child = tree.child[bidx, n, a]
+
+            active = c["active"]
+            # record the edge taken at slot `depth` (sentinel D drops)
+            slot = jnp.where(active, c["depth"], D)
+            path_n = c["path_n"].at[bidx, slot].set(n, mode="drop")
+            path_a = c["path_a"].at[bidx, slot].set(a, mode="drop")
+            depth1 = c["depth"] + 1
+
+            unexp = child == -1
+            child_c = jnp.maximum(child, 0)
+            cterm = ~unexp & tree.term[bidx, child_c]
+            cutoff = ~unexp & ~cterm & (depth1 >= D)
+            go = active & ~unexp & ~cterm & ~cutoff
+
+            exp_now = active & unexp
+            stop_leaf = active & (cterm | cutoff)
+            return {
+                "node": jnp.where(go, child_c, n),
+                "depth": jnp.where(active, depth1, c["depth"]),
+                "active": go,
+                "path_n": path_n,
+                "path_a": path_a,
+                "exp_mask": c["exp_mask"] | exp_now,
+                "exp_parent": jnp.where(exp_now, n, c["exp_parent"]),
+                "exp_action": jnp.where(exp_now, a, c["exp_action"]),
+                "term_mask": c["term_mask"] | (active & cterm),
+                "cut_mask": c["cut_mask"] | (active & cutoff),
+                "leaf_node": jnp.where(stop_leaf, child_c, c["leaf_node"]),
+            }
+
+        init = {
+            "node": jnp.zeros((B,), jnp.int32),
+            "depth": jnp.zeros((B,), jnp.int32),
+            "active": ~tree.term[:, 0],  # terminal roots never search
+            "path_n": jnp.zeros((B, D), jnp.int32),
+            "path_a": jnp.zeros((B, D), jnp.int32),
+            "exp_mask": jnp.zeros((B,), bool),
+            "exp_parent": jnp.zeros((B,), jnp.int32),
+            "exp_action": jnp.zeros((B,), jnp.int32),
+            "term_mask": jnp.zeros((B,), bool),
+            "cut_mask": jnp.zeros((B,), bool),
+            "leaf_node": jnp.zeros((B,), jnp.int32),
+        }
+        return jax.lax.while_loop(cond, body, init)
+
+    def _simulate(params, tree: Tree) -> Tree:
+        """One simulation for every game: select -> expand -> evaluate ->
+        backup (the vectorized search_iteration, async_mcts.rs:219-371)."""
+        B = tree.batch_size
+        bidx = jnp.arange(B)
+        sel = _select(tree)
+
+        # ---- EXPAND (async_mcts.rs:279-356, minus the lock protocol) ----
+        parent_state = jax.tree_util.tree_map(
+            lambda l: l[bidx, sel["exp_parent"]], tree.state
+        )
+        new_state = step_v(parent_state, sel["exp_action"])
+        new_valid = valid_v(new_state)
+        new_done, new_tval = term_v(new_state)
+
+        new_idx = tree.count
+        exp_ok = sel["exp_mask"] & (new_idx < C)  # graceful out-of-capacity
+        widx = jnp.where(exp_ok, new_idx, C)      # C is OOB -> dropped
+        state = jax.tree_util.tree_map(
+            lambda buf, x: buf.at[bidx, widx].set(x, mode="drop"),
+            tree.state,
+            new_state,
+        )
+        valid = tree.valid.at[bidx, widx].set(new_valid, mode="drop")
+        term = tree.term.at[bidx, widx].set(new_done, mode="drop")
+        tval = tree.tval.at[bidx, widx].set(new_tval, mode="drop")
+        a_link = jnp.where(exp_ok, sel["exp_action"], A)
+        child = tree.child.at[bidx, sel["exp_parent"], a_link].set(
+            new_idx, mode="drop"
+        )
+        count = tree.count + exp_ok.astype(jnp.int32)
+
+        # ---- EVALUATE: NN fused into the step (vs async_mcts.rs:305-315's
+        # channel round-trip to the inference service thread) ----
+        logits, v_nn = apply_fn(params, feat_v(new_state))
+        prior = masked_policy(logits, new_valid)
+        p = tree.P.at[bidx, widx].set(prior, mode="drop")
+
+        # leaf value, from the leaf's player-to-move perspective
+        v_expand = jnp.where(new_done, new_tval, v_nn)
+        leaf_state = jax.tree_util.tree_map(
+            lambda l: l[bidx, sel["leaf_node"]], tree.state
+        )
+        v_cut = heur_v(leaf_state)
+        v_term = tree.tval[bidx, sel["leaf_node"]]
+        v_leaf = jnp.where(
+            sel["exp_mask"],
+            v_expand,
+            jnp.where(sel["term_mask"], v_term, v_cut),
+        )
+
+        # ---- BACKUP: scatter-add along the path with negamax alternation
+        # (fixing D5; replaces the per-node atomic unvisit walk,
+        # async_mcts.rs:361-370 / node.rs:83-92) ----
+        depth = sel["depth"]  # number of edges on the path
+        did_sim = sel["exp_mask"] | sel["term_mask"] | sel["cut_mask"]
+        d_pos = jnp.arange(D)[None, :]
+        on_path = (d_pos < depth[:, None]) & did_sim[:, None]
+        # edge d's node player sits (depth - d) plies above the leaf:
+        # odd distance flips the sign once.
+        sign = jnp.where((depth[:, None] - d_pos) % 2 == 1, -1.0, 1.0)
+        vals = sign * v_leaf[:, None]
+        a_sc = jnp.where(on_path, sel["path_a"], A)  # A is OOB -> dropped
+        b_sc = jnp.broadcast_to(bidx[:, None], (B, D))
+        n_new = tree.N.at[b_sc, sel["path_n"], a_sc].add(1, mode="drop")
+        w_new = tree.W.at[b_sc, sel["path_n"], a_sc].add(vals, mode="drop")
+
+        return Tree(
+            N=n_new, W=w_new, P=p, child=child, state=state,
+            valid=valid, term=term, tval=tval, count=count,
+        )
+
+    def search(
+        params,
+        root_state: Any,
+        rng: Optional[jax.Array] = None,
+        num_sims: Optional[int] = None,
+    ) -> Tree:
+        sims = cfg.num_sims if num_sims is None else num_sims
+        tree = init_tree(game, root_state, C)
+
+        # install root prior (the intended-but-broken first root expansion,
+        # defect D1) + optional Dirichlet noise
+        logits, _ = apply_fn(params, feat_v(root_state))
+        prior = masked_policy(logits, tree.valid[:, 0])
+        if cfg.dirichlet_alpha is not None:
+            if rng is None:
+                raise ValueError("dirichlet noise requires an rng key")
+            noise = jax.random.dirichlet(
+                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
+            )
+            noise = masked_policy(jnp.log(noise + 1e-12), tree.valid[:, 0])
+            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+        tree = tree._replace(P=tree.P.at[:, 0].set(prior))
+
+        return jax.lax.fori_loop(0, sims, lambda i, t: _simulate(params, t), tree)
+
+    return search

@@ -1,0 +1,171 @@
+"""Policy/value networks — the NNet family.
+
+Re-design of the reference's NN stack: the ``NNet`` trait
+(reference: src/nnet.rs:35-45), the embedded-Python bridge
+(examples/utils/python_nnet.rs), the TF1 CNN spec
+(examples/connect_four_lib/connect_four_net.py:20-100, treated as an
+architecture/loss spec only — defect D10) and the uniform dummy net
+(examples/connect_four.rs:12-43 ``DumbConnectFourNnet``).
+
+Interface: every model exposes ``apply_fn(variables, features[B, ...]) ->
+(policy_logits[B, A], value[B])`` — a pure function fused straight into the
+search step (no inference service thread / channel hop,
+async_mcts.rs:117-189). Variables are flax dicts ``{'params', ...,
+'batch_stats', ...}``; model versioning is plain pytree substitution
+(incumbent vs candidate live side by side), replacing the reference's
+checkpoint-reload-on-model-id scheme (python_nnet.rs:65-75,106-117).
+
+Compute dtype is bfloat16 on the matmul/conv path (MXU-native), float32 for
+normalization statistics and head outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class UniformModel:
+    """Uniform policy, constant value — the pure-MCTS baseline net
+    (examples/connect_four.rs:12-43). The reference's returned value 1.0 for
+    every board; 0.0 (neutral) is this framework's default, configurable."""
+
+    def __init__(self, num_actions: int, value: float = 0.0):
+        self.num_actions = num_actions
+        self.value = value
+
+    def init(self, rng: jax.Array, sample: jax.Array) -> Any:
+        del rng, sample
+        return {}
+
+    def apply_fn(self, variables: Any, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        del variables
+        b = feats.shape[0]
+        return (
+            jnp.zeros((b, self.num_actions), jnp.float32),
+            jnp.full((b,), self.value, jnp.float32),
+        )
+
+
+def make_uniform_model(game, value: float = 0.0) -> UniformModel:
+    return UniformModel(game.num_actions, value)
+
+
+class MLPNet(nn.Module):
+    """Tiny MLP policy/value net (BASELINE config 2)."""
+
+    num_actions: int
+    hidden: Sequence[int] = (256, 256)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        del train
+        x = x.reshape((x.shape[0], -1)).astype(self.dtype)
+        for h in self.hidden:
+            x = nn.Dense(h, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        logits = nn.Dense(self.num_actions, dtype=jnp.float32, name="policy")(x)
+        v = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        return logits, jnp.tanh(v)[:, 0]
+
+
+class _ResBlock(nn.Module):
+    channels: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(y)
+        return nn.relu(x + y.astype(x.dtype))
+
+
+class AZResNet(nn.Module):
+    """AlphaZero-style conv resnet — the flagship model (BASELINE config 3).
+
+    Stem conv + residual tower + 1x1-conv policy/value heads, BN throughout
+    (the modern successor of the reference's plain 4-conv CNN spec,
+    connect_four_net.py:20-100: conv3x3x512 stack + BN + ReLU + dense heads,
+    pi = softmax(Dense(A)), v = tanh(Dense(1))).
+    """
+
+    num_actions: int
+    channels: int = 64
+    blocks: int = 5
+    value_hidden: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        x = nn.relu(x).astype(self.dtype)
+        for _ in range(self.blocks):
+            x = _ResBlock(self.channels, self.dtype)(x, train)
+
+        p = nn.Conv(2, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        p = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(p)
+        p = nn.relu(p).reshape((x.shape[0], -1))
+        logits = nn.Dense(self.num_actions, dtype=jnp.float32, name="policy")(p)
+
+        v = nn.Conv(1, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        v = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(v)
+        v = nn.relu(v).reshape((x.shape[0], -1))
+        v = nn.relu(nn.Dense(self.value_hidden, dtype=self.dtype)(v))
+        v = nn.Dense(1, dtype=jnp.float32, name="value")(v)
+        return logits, jnp.tanh(v)[:, 0]
+
+
+class AZConvNet(nn.Module):
+    """Plain conv net matching the reference's TF1 architecture spec
+    (connect_four_net.py:20-100): 4 conv3x3 layers (SAME, SAME, VALID,
+    VALID) + BN + ReLU, flatten, Dense(1024)+BN+ReLU+Dropout,
+    Dense(512)+BN+ReLU+Dropout, then pi/v heads. Kept for parity with C11;
+    AZResNet is the recommended flagship."""
+
+    num_actions: int
+    channels: int = 512          # num_channels (connect_four_net.py:14)
+    dropout: float = 0.3         # (connect_four_net.py:13)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        x = x.astype(self.dtype)
+        for pad in ("SAME", "SAME", "VALID", "VALID"):
+            x = nn.Conv(self.channels, (3, 3), padding=pad, use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+            x = nn.relu(x).astype(self.dtype)
+        x = x.reshape((x.shape[0], -1))
+        for h in (1024, 512):
+            x = nn.Dense(h, use_bias=False, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+            x = nn.relu(x).astype(self.dtype)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.num_actions, dtype=jnp.float32, name="policy")(x)
+        v = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        return logits, jnp.tanh(v)[:, 0]
+
+
+def make_flax_apply_fn(model: nn.Module) -> Callable:
+    """Inference-mode apply: (variables, feats) -> (logits, value).
+
+    Uses running BN statistics (train=False) — the search-side predict path
+    (the analogue of PythonNNet::predict, python_nnet.rs:88-132)."""
+
+    def apply_fn(variables, feats):
+        return model.apply(variables, feats, train=False)
+
+    return apply_fn
+
+
+def init_flax_model(model: nn.Module, rng: jax.Array, feature_shape) -> Any:
+    sample = jnp.zeros((1,) + tuple(feature_shape), jnp.float32)
+    return model.init(rng, sample, train=False)
