@@ -1,0 +1,77 @@
+"""Checkpoint / resume.
+
+The reference has two mechanisms (SURVEY.md §5): bincode'd replay-history
+files ``{iteration}.examples`` picked up by numeric stem on restart
+(reference: src/coach.rs:55-81, 159-167 — with defect D6's absolute-path
+join writing to filesystem root), and per-model ``{model_id}.pth.tar``
+files owned by the Python net (python_nnet.rs:65-82). Crucially the
+reference never persists the iteration counter or model_id.
+
+Here one Orbax checkpoint per iteration captures the WHOLE training state:
+incumbent params + optimizer + batch stats, the on-device replay ring, the
+PRNG key, and the iteration/model-id counters — so resume is exact. The
+Elo/metrics history rides along as a JSON sidecar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"^ckpt_(\d+)$")
+
+
+def _ckpt_path(directory: str, step: int) -> str:
+    return os.path.join(os.path.abspath(directory), f"ckpt_{step:06d}")
+
+
+def save_checkpoint(
+    directory: str, step: int, payload: Any, sidecar: Optional[dict] = None
+) -> str:
+    """Save a pytree payload as checkpoint ``step`` (+ JSON sidecar)."""
+    os.makedirs(directory, exist_ok=True)
+    path = _ckpt_path(directory, step)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if sidecar is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(sidecar, f)
+    return path
+
+
+def latest_step(directory: str) -> Optional[int]:
+    """Newest checkpoint step by numeric stem (the resume rule of
+    coach.rs:61-76, applied to whole-state checkpoints)."""
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        int(m.group(1))
+        for name in os.listdir(directory)
+        if (m := _CKPT_RE.match(name))
+    ]
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(
+    directory: str, step: int, template: Any
+) -> Tuple[Any, Optional[dict]]:
+    """Restore payload (shaped like ``template``) + sidecar for ``step``."""
+    path = _ckpt_path(directory, step)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        template,
+    )
+    payload = ckptr.restore(path, abstract)
+    sidecar = None
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            sidecar = json.load(f)
+    return payload, sidecar

@@ -1,0 +1,209 @@
+"""Coach — the self-play / train / gate outer loop.
+
+Re-design of the reference's orchestrator (reference: src/coach.rs:18-397).
+Per iteration (coach.rs:169-396):
+
+  (a) self-play  — one jitted batched run replaces ``num_eps`` rayon
+      episodes with fresh AsyncMcts each (coach.rs:240-272);
+  (b) replay     — on-device ring insert with fused symmetry augmentation
+      replaces deque trimming + bincode save (coach.rs:275-293);
+  (c) train      — the candidate starts from the incumbent and takes
+      ``steps_per_iteration`` minibatch steps in ONE jitted scan (replacing
+      the flatten/shuffle/AOS->SOA pass + the tx_train channel hop into the
+      service thread, coach.rs:296-329);
+  (d) arena gate — batched candidate-vs-incumbent with seating swap;
+      accept iff win-rate >= update_threshold (coach.rs:332-390), with an
+      Elo tracker on top;
+  (e) checkpoint — whole-state Orbax save (params+opt+replay+rng+counters),
+      exact resume (vs. examples-only persistence, coach.rs:55-81).
+
+Model versioning: integer ``model_id`` increments only on acceptance, and
+the incumbent/candidate are two resident TrainStates — no checkpoint
+reloads mid-run (python_nnet.rs:65-75's mechanism) and no mixed-model
+inference batches (defect D8 is structurally impossible).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.arena import gate, make_arena_fn
+from alphazero_tpu.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from alphazero_tpu.config import AZConfig, MCTSConfig
+from alphazero_tpu.models.nets import make_flax_apply_fn
+from alphazero_tpu.replay import replay_init, replay_insert, replay_sample
+from alphazero_tpu.selfplay import make_selfplay_fn
+from alphazero_tpu.train import TrainState, init_train_state, make_train_step, variables_of
+from alphazero_tpu.utils import EloTracker, MetricsLogger, PhaseTimer
+
+
+def make_train_phase(model, tcfg, steps: int):
+    """Whole training phase under one jit: scan over minibatch steps, each
+    sampling the (device-resident) replay with its own key."""
+    train_step = make_train_step(model, tcfg)
+
+    def phase(tstate: TrainState, replay, rng):
+        def body(ts, key):
+            k_sample, k_drop = jax.random.split(key)
+            feats, pi_t, v_t = replay_sample(replay, k_sample, tcfg.batch_size)
+            ts, metrics = train_step(ts, feats, pi_t, v_t, k_drop)
+            return ts, metrics.loss
+
+        keys = jax.random.split(rng, steps)
+        tstate, losses = jax.lax.scan(body, tstate, keys)
+        return tstate, losses
+
+    return phase
+
+
+class Coach:
+    """Host-side driver over jitted phases (the L4 orchestration layer)."""
+
+    def __init__(self, game, model, cfg: AZConfig):
+        self.game = game
+        self.model = model
+        self.cfg = cfg
+
+        apply_fn = make_flax_apply_fn(model)
+        self._selfplay = jax.jit(
+            make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay)
+        )
+        self._insert = jax.jit(lambda r, t: replay_insert(r, game, t))
+        self._train_phase = jax.jit(
+            make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
+        )
+        arena_cfg = dataclasses.replace(
+            cfg.mcts, num_sims=cfg.arena.num_sims or cfg.mcts.num_sims
+        )
+        self._arena = jax.jit(
+            make_arena_fn(game, apply_fn, apply_fn, arena_cfg, cfg.arena.num_games)
+        )
+
+        # live state
+        self.rng = jax.random.key(cfg.seed)
+        self.incumbent = init_train_state(
+            model, jax.random.key(cfg.seed + 1), game.feature_shape, cfg.train
+        )
+        self.replay = replay_init(game, cfg.replay)
+        self.iteration = 0
+        self.model_id = 0
+        self.elo = EloTracker()
+        self.metrics = MetricsLogger(cfg.checkpoint_dir)
+        self.timer = PhaseTimer()
+
+        if cfg.checkpoint_dir:
+            self._maybe_resume()
+
+    # ------------------------------------------------------------------
+    def _payload(self):
+        return {
+            "incumbent": self.incumbent._asdict(),
+            "replay": self.replay._asdict(),
+            "rng": jax.random.key_data(self.rng),
+        }
+
+    def _maybe_resume(self) -> None:
+        step = latest_step(self.cfg.checkpoint_dir)
+        if step is None:
+            return
+        payload, sidecar = restore_checkpoint(
+            self.cfg.checkpoint_dir, step, self._payload()
+        )
+        self.incumbent = TrainState(**payload["incumbent"])
+        from alphazero_tpu.replay import ReplayState
+
+        self.replay = ReplayState(**payload["replay"])
+        self.rng = jax.random.wrap_key_data(payload["rng"])
+        if sidecar:
+            self.iteration = sidecar.get("iteration", step)
+            self.model_id = sidecar.get("model_id", 0)
+            for rec in sidecar.get("elo_history", []):
+                self.elo.history.append(rec)
+            self.elo.ratings.update(
+                {int(k): v for k, v in sidecar.get("elo_ratings", {}).items()}
+            )
+        else:
+            self.iteration = step
+
+    def save(self) -> None:
+        if not self.cfg.checkpoint_dir:
+            return
+        save_checkpoint(
+            self.cfg.checkpoint_dir,
+            self.iteration,
+            self._payload(),
+            sidecar={
+                "iteration": self.iteration,
+                "model_id": self.model_id,
+                "elo_history": self.elo.history,
+                "elo_ratings": self.elo.ratings,
+            },
+        )
+
+    # ------------------------------------------------------------------
+    def _split(self, n=2):
+        keys = jax.random.split(self.rng, n + 1)
+        self.rng = keys[0]
+        return keys[1:]
+
+    def run_iteration(self) -> dict:
+        """One full coach iteration; returns the metrics record."""
+        cfg = self.cfg
+        (k_sp, k_train, k_arena) = self._split(3)
+
+        with self.timer.phase("selfplay"):
+            traj, stats = self._selfplay(variables_of(self.incumbent), k_sp)
+            jax.block_until_ready(traj.features)
+        with self.timer.phase("replay_insert"):
+            self.replay = self._insert(self.replay, traj)
+            jax.block_until_ready(self.replay.pos)
+        with self.timer.phase("train"):
+            candidate, losses = self._train_phase(self.incumbent, self.replay, k_train)
+            jax.block_until_ready(losses)
+        with self.timer.phase("arena"):
+            result = self._arena(
+                variables_of(candidate), variables_of(self.incumbent), k_arena
+            )
+            jax.block_until_ready(result.cand_wins)
+
+        cw, iw, dr = int(result.cand_wins), int(result.inc_wins), int(result.draws)
+        accepted = gate(result, cfg.arena.update_threshold)
+        cand_id = self.model_id + 1
+        rating = self.elo.record_match(cand_id, self.model_id, cw, iw, dr, accepted)
+        if accepted:
+            self.incumbent = candidate
+            self.model_id = cand_id
+
+        self.iteration += 1
+        phases = self.timer.reset()
+        record = {
+            "iteration": self.iteration,
+            "model_id": self.model_id,
+            "accepted": accepted,
+            "arena_wins": cw,
+            "arena_losses": iw,
+            "arena_draws": dr,
+            "win_rate": cw / max(cw + iw, 1),
+            "candidate_elo": rating,
+            "loss_first": float(losses[0]),
+            "loss_last": float(losses[-1]),
+            "replay_size": int(self.replay.size),
+            "replay_total": int(self.replay.total),
+            "selfplay_moves": int(jnp.sum(stats.num_moves)),
+            **{f"t_{k}": round(v, 3) for k, v in phases.items()},
+        }
+        self.metrics.log(record)
+        self.save()
+        return record
+
+    def learn(self, num_iterations: Optional[int] = None):
+        """The outer loop (Coach::learn, coach.rs:169-396)."""
+        n = num_iterations if num_iterations is not None else self.cfg.num_iterations
+        records = []
+        for _ in range(n):
+            records.append(self.run_iteration())
+        return records

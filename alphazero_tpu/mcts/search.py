@@ -11,6 +11,13 @@ all ``B`` leaves is *inlined* (replacing the channel round-trip
 async_mcts.rs:305-315), and backup is one scatter-add along the recorded
 paths. No locks, no virtual loss, no queues.
 
+Hot-loop design (the per-iteration cost is kernel launches, not FLOPs):
+each descent step issues ONE gathered stats row per tree (the packed
+``[A, 4]`` N/W/P/child layout, see tree.py), one packed node-info gather,
+and one packed path-record scatter; the backup is a single fused
+scatter-add into the (N, W) lanes. This is what makes thousands of trees
+per chip cheap.
+
 Intended-semantics fidelity (SURVEY.md §8): the PUCT formula is
 node.rs:352-356 verbatim (``Q + cpuct * P[a] * sqrt(N_parent + EPS) /
 (1 + N_child)`` with EPS = 1e-6); depth cutoff backs up ``eval_heuristic``
@@ -29,30 +36,35 @@ import jax
 import jax.numpy as jnp
 
 from alphazero_tpu.config import MCTSConfig, PUCT_EPS
-from alphazero_tpu.mcts.tree import Tree, init_tree
+from alphazero_tpu.mcts.tree import (
+    INVALID_P,
+    LANE_CHILD,
+    LANE_N,
+    LANE_P,
+    LANE_W,
+    Tree,
+    init_tree,
+)
 from alphazero_tpu.ops import masked_policy
 
 # apply_fn(params, features[B, ...]) -> (logits[B, A], value[B])
 ApplyFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-def puct_scores(
-    n_row: jax.Array,
-    w_row: jax.Array,
-    p_row: jax.Array,
-    valid_row: jax.Array,
-    cpuct: float,
-) -> jax.Array:
-    """Batched PUCT over one node row (node.rs:343-370 best_child).
+def puct_scores(stats_row: jax.Array, cpuct: float) -> jax.Array:
+    """Batched PUCT over one packed node row [B, A, 4]
+    (node.rs:343-370 best_child).
 
-    Q of an unvisited edge is 0 (the reference's packed-counter decode is
-    0-centered for N=0). Invalid actions score -inf.
-    """
-    n_f = n_row.astype(jnp.float32)
-    q = w_row / jnp.maximum(n_f, 1.0)
-    n_parent = jnp.sum(n_f, axis=-1, keepdims=True)
-    u = cpuct * p_row * jnp.sqrt(n_parent + PUCT_EPS) / (1.0 + n_f)
-    return jnp.where(valid_row, q + u, -jnp.inf)
+    Q of an unvisited edge is 0. Illegal actions carry the INVALID_P prior
+    sentinel and are forced to -inf after the fused formula."""
+    n = stats_row[..., LANE_N]
+    w = stats_row[..., LANE_W]
+    p = stats_row[..., LANE_P]
+    q = w / jnp.maximum(n, 1.0)
+    n_parent = jnp.sum(n, axis=-1, keepdims=True)
+    u = cpuct * p * jnp.sqrt(n_parent + PUCT_EPS) / (1.0 + n)
+    score = q + u
+    return jnp.where(p <= INVALID_P * 0.5, -jnp.inf, score)
 
 
 def make_search_fn(
@@ -83,9 +95,8 @@ def make_search_fn(
     def _select(tree: Tree):
         """Descend every tree to its frontier; record paths.
 
-        Returns the per-game descent record: path buffers, depth, and the
-        disposition masks (expand / terminal-hit / depth-cutoff).
-        """
+        Returns the per-game descent record: packed path buffer, depth, and
+        the disposition masks (expand / terminal-hit / depth-cutoff)."""
         B = tree.batch_size
         bidx = jnp.arange(B)
 
@@ -94,23 +105,23 @@ def make_search_fn(
 
         def body(c):
             n = c["node"]
-            n_row = tree.N[bidx, n]
-            score = puct_scores(
-                n_row, tree.W[bidx, n], tree.P[bidx, n], tree.valid[bidx, n], cpuct
-            )
+            row = tree.stats[bidx, n]                 # ONE gather: [B, A, 4]
+            score = puct_scores(row, cpuct)
             a = jnp.argmax(score, axis=-1).astype(jnp.int32)
-            child = tree.child[bidx, n, a]
+            child_f = jnp.take_along_axis(
+                row[..., LANE_CHILD], a[:, None], axis=-1
+            )[:, 0]
 
             active = c["active"]
             # record the edge taken at slot `depth` (sentinel D drops)
             slot = jnp.where(active, c["depth"], D)
-            path_n = c["path_n"].at[bidx, slot].set(n, mode="drop")
-            path_a = c["path_a"].at[bidx, slot].set(a, mode="drop")
+            rec = jnp.stack([n.astype(jnp.float32), a.astype(jnp.float32)], -1)
+            path = c["path"].at[bidx, slot, :].set(rec, mode="drop")
             depth1 = c["depth"] + 1
 
-            unexp = child == -1
-            child_c = jnp.maximum(child, 0)
-            cterm = ~unexp & tree.term[bidx, child_c]
+            unexp = child_f < 0.0
+            child_c = jnp.maximum(child_f, 0.0).astype(jnp.int32)
+            cterm = ~unexp & (tree.node[bidx, child_c, 0] > 0.5)
             cutoff = ~unexp & ~cterm & (depth1 >= D)
             go = active & ~unexp & ~cterm & ~cutoff
 
@@ -120,8 +131,7 @@ def make_search_fn(
                 "node": jnp.where(go, child_c, n),
                 "depth": jnp.where(active, depth1, c["depth"]),
                 "active": go,
-                "path_n": path_n,
-                "path_a": path_a,
+                "path": path,
                 "exp_mask": c["exp_mask"] | exp_now,
                 "exp_parent": jnp.where(exp_now, n, c["exp_parent"]),
                 "exp_action": jnp.where(exp_now, a, c["exp_action"]),
@@ -133,9 +143,8 @@ def make_search_fn(
         init = {
             "node": jnp.zeros((B,), jnp.int32),
             "depth": jnp.zeros((B,), jnp.int32),
-            "active": ~tree.term[:, 0],  # terminal roots never search
-            "path_n": jnp.zeros((B, D), jnp.int32),
-            "path_a": jnp.zeros((B, D), jnp.int32),
+            "active": tree.node[:, 0, 0] < 0.5,  # terminal roots never search
+            "path": jnp.zeros((B, D, 2), jnp.float32),
             "exp_mask": jnp.zeros((B,), bool),
             "exp_parent": jnp.zeros((B,), jnp.int32),
             "exp_action": jnp.zeros((B,), jnp.int32),
@@ -168,20 +177,27 @@ def make_search_fn(
             tree.state,
             new_state,
         )
-        valid = tree.valid.at[bidx, widx].set(new_valid, mode="drop")
-        term = tree.term.at[bidx, widx].set(new_done, mode="drop")
-        tval = tree.tval.at[bidx, widx].set(new_tval, mode="drop")
-        a_link = jnp.where(exp_ok, sel["exp_action"], A)
-        child = tree.child.at[bidx, sel["exp_parent"], a_link].set(
-            new_idx, mode="drop"
-        )
         count = tree.count + exp_ok.astype(jnp.int32)
 
         # ---- EVALUATE: NN fused into the step (vs async_mcts.rs:305-315's
         # channel round-trip to the inference service thread) ----
         logits, v_nn = apply_fn(params, feat_v(new_state))
         prior = masked_policy(logits, new_valid)
-        p = tree.P.at[bidx, widx].set(prior, mode="drop")
+        p_masked = jnp.where(new_valid, prior, INVALID_P)
+
+        # one packed row write: N=0, W=0, P_masked, child=UNVISITED
+        zeros = jnp.zeros_like(prior)
+        new_row = jnp.stack(
+            [zeros, zeros, p_masked, jnp.full_like(prior, -1.0)], axis=-1
+        )
+        stats = tree.stats.at[bidx, widx].set(new_row, mode="drop")
+        new_info = jnp.stack([new_done.astype(jnp.float32), new_tval], -1)
+        node = tree.node.at[bidx, widx].set(new_info, mode="drop")
+        # link parent -> child (single lane scatter)
+        a_link = jnp.where(exp_ok, sel["exp_action"], A)
+        stats = stats.at[bidx, sel["exp_parent"], a_link, LANE_CHILD].set(
+            new_idx.astype(jnp.float32), mode="drop"
+        )
 
         # leaf value, from the leaf's player-to-move perspective
         v_expand = jnp.where(new_done, new_tval, v_nn)
@@ -189,15 +205,15 @@ def make_search_fn(
             lambda l: l[bidx, sel["leaf_node"]], tree.state
         )
         v_cut = heur_v(leaf_state)
-        v_term = tree.tval[bidx, sel["leaf_node"]]
+        v_term = tree.node[bidx, sel["leaf_node"], 1]
         v_leaf = jnp.where(
             sel["exp_mask"],
             v_expand,
             jnp.where(sel["term_mask"], v_term, v_cut),
         )
 
-        # ---- BACKUP: scatter-add along the path with negamax alternation
-        # (fixing D5; replaces the per-node atomic unvisit walk,
+        # ---- BACKUP: one fused scatter-add along the path with negamax
+        # alternation (fixing D5; replaces the per-node atomic unvisit walk,
         # async_mcts.rs:361-370 / node.rs:83-92) ----
         depth = sel["depth"]  # number of edges on the path
         did_sim = sel["exp_mask"] | sel["term_mask"] | sel["cut_mask"]
@@ -207,15 +223,17 @@ def make_search_fn(
         # odd distance flips the sign once.
         sign = jnp.where((depth[:, None] - d_pos) % 2 == 1, -1.0, 1.0)
         vals = sign * v_leaf[:, None]
-        a_sc = jnp.where(on_path, sel["path_a"], A)  # A is OOB -> dropped
-        b_sc = jnp.broadcast_to(bidx[:, None], (B, D))
-        n_new = tree.N.at[b_sc, sel["path_n"], a_sc].add(1, mode="drop")
-        w_new = tree.W.at[b_sc, sel["path_n"], a_sc].add(vals, mode="drop")
-
-        return Tree(
-            N=n_new, W=w_new, P=p, child=child, state=state,
-            valid=valid, term=term, tval=tval, count=count,
+        upd = jnp.stack([on_path.astype(jnp.float32), vals], -1)  # [B, D, 2]
+        path_n = sel["path"][..., 0].astype(jnp.int32)
+        path_a = jnp.where(
+            on_path, sel["path"][..., 1].astype(jnp.int32), A
+        )  # A is OOB -> dropped
+        b_sc = jnp.broadcast_to(bidx[:, None], path_a.shape)
+        stats = stats.at[b_sc, path_n, path_a, LANE_N : LANE_W + 1].add(
+            upd, mode="drop"
         )
+
+        return Tree(stats=stats, node=node, state=state, count=count)
 
     def search(
         params,
@@ -228,17 +246,19 @@ def make_search_fn(
 
         # install root prior (the intended-but-broken first root expansion,
         # defect D1) + optional Dirichlet noise
+        root_valid = tree.stats[:, 0, :, LANE_P] > INVALID_P * 0.5
         logits, _ = apply_fn(params, feat_v(root_state))
-        prior = masked_policy(logits, tree.valid[:, 0])
+        prior = masked_policy(logits, root_valid)
         if cfg.dirichlet_alpha is not None:
             if rng is None:
                 raise ValueError("dirichlet noise requires an rng key")
             noise = jax.random.dirichlet(
                 rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
             )
-            noise = masked_policy(jnp.log(noise + 1e-12), tree.valid[:, 0])
+            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
             prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
-        tree = tree._replace(P=tree.P.at[:, 0].set(prior))
+        p_masked = jnp.where(root_valid, prior, INVALID_P)
+        tree = tree._replace(stats=tree.stats.at[:, 0, :, LANE_P].set(p_masked))
 
         return jax.lax.fori_loop(0, sims, lambda i, t: _simulate(params, t), tree)
 

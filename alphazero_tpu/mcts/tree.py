@@ -6,9 +6,12 @@ src/node.rs:129-377 ``NodeStore``) and per-node packed atomic statistics
 against: every game advances exactly one simulation per lockstep step, so
 
 * the packed W/N/virtual-loss ``AtomicU64`` (node.rs:17, layout
-  ``0xWWWWWWWW_NNNN_VVVV``) becomes two plain SoA arrays ``N``/``W`` holding
-  *edge* statistics ``[B, C, A]`` — virtual loss is unnecessary by
-  construction (SURVEY.md §2, parallelism table);
+  ``0xWWWWWWWW_NNNN_VVVV``) becomes a packed *vector* layout instead:
+  ``stats[B, C, A, 4] = (N, W, P_masked, child)`` — one f32 lane-group per
+  edge, so a whole descent step reads ONE gathered row per tree. (The
+  reference packed for atomicity; this packs for HBM-transaction and
+  kernel-launch economy — same trick, different hardware reason.)
+  Virtual loss is unnecessary by construction (SURVEY.md §2).
 * the CAS spinlock bit + PlaceHolder/Locked/Exists slot lifecycle
   (node.rs:328-341, 272-326) becomes masked scatter writes — a node exists
   iff some ``child`` entry points at it;
@@ -20,10 +23,12 @@ against: every game advances exactly one simulation per lockstep step, so
   intentionally dropped: a pure tree is correct AlphaZero, and on-device
   state hashing would serialize the hot loop (SURVEY.md §7 hard-parts (c)).
 
-Layout: everything is structure-of-arrays with the game batch ``B`` as the
-leading (shardable) axis, node capacity ``C`` second, action ``A`` last —
-so one simulation step is a handful of row gathers/scatters of shape
-``[B, A]``, which XLA fuses into a few VPU passes over contiguous HBM.
+Packing notes: N and child are stored in f32 lanes — exact integers up to
+2^24, far beyond any per-edge visit count or node index here. Invalid
+actions carry ``P_masked = INVALID_P`` (a large negative prior) so the PUCT
+score needs no separate legal-move mask load in the hot loop. Per-node
+terminality is packed the same way: ``node[B, C, 2] = (is_terminal,
+terminal_value)``.
 """
 
 from __future__ import annotations
@@ -33,57 +38,94 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-UNVISITED = -1  # child slot sentinel (the analogue of NodeState::PlaceHolder)
+UNVISITED = -1.0     # child lane sentinel (NodeState::PlaceHolder analogue)
+INVALID_P = -1e30    # masked-prior sentinel for illegal actions
+
+# stats lane indices
+LANE_N, LANE_W, LANE_P, LANE_CHILD = 0, 1, 2, 3
 
 
 class Tree(NamedTuple):
     """Batched search trees. B games, C node slots each, A actions.
 
-    Edge statistics live on the parent: ``N[b, n, a]`` / ``W[b, n, a]`` are
+    Edge statistics live on the parent: lane 0/1 of ``stats[b, n, a]`` are
     the visit count and total value (from node ``n``'s player-to-move
     perspective) of the edge ``n --a-->``. ``Q = W / N`` replaces the
     reference's ``compute_q`` (node.rs:51-58) without the fixed-point
-    ``WIN_SCALE`` encoding (node.rs:13) — floats are atomic-free here.
+    ``WIN_SCALE`` encoding (node.rs:13) — floats need no atomics here.
     """
 
-    N: jax.Array       # i32[B, C, A] edge visit counts
-    W: jax.Array       # f32[B, C, A] edge total value (parent perspective)
-    P: jax.Array       # f32[B, C, A] edge priors
-    child: jax.Array   # i32[B, C, A] child node index, UNVISITED if none
+    stats: jax.Array   # f32[B, C, A, 4] — (N, W, P_masked, child)
+    node: jax.Array    # f32[B, C, 2]   — (is_terminal, terminal_value)
     state: Any         # game-state pytree, leaves [B, C, ...]
-    valid: jax.Array   # bool[B, C, A] legal-action mask per node
-    term: jax.Array    # bool[B, C] node is terminal
-    tval: jax.Array    # f32[B, C] terminal value (node's to-move perspective)
     count: jax.Array   # i32[B] next free slot (root occupies slot 0)
+
+    # --- decoded views (test/diagnostic surface; hot paths read lanes) ---
+    @property
+    def N(self) -> jax.Array:
+        return self.stats[..., LANE_N].astype(jnp.int32)
+
+    @property
+    def W(self) -> jax.Array:
+        return self.stats[..., LANE_W]
+
+    @property
+    def P(self) -> jax.Array:
+        p = self.stats[..., LANE_P]
+        return jnp.where(p <= INVALID_P * 0.5, 0.0, p)
+
+    @property
+    def child(self) -> jax.Array:
+        return self.stats[..., LANE_CHILD].astype(jnp.int32)
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.stats[..., LANE_P] > INVALID_P * 0.5
+
+    @property
+    def term(self) -> jax.Array:
+        return self.node[..., 0] > 0.5
+
+    @property
+    def tval(self) -> jax.Array:
+        return self.node[..., 1]
 
     @property
     def batch_size(self) -> int:
-        return self.N.shape[0]
+        return self.stats.shape[0]
 
     @property
     def capacity(self) -> int:
-        return self.N.shape[1]
+        return self.stats.shape[1]
 
     @property
     def num_actions(self) -> int:
-        return self.N.shape[2]
+        return self.stats.shape[2]
 
     def root_counts(self) -> jax.Array:
         """f32[B, A] root visit counts — the search output consumed by
         ``action_probs`` (the analogue of async_mcts.rs:84-94)."""
-        return self.N[:, 0, :].astype(jnp.float32)
+        return self.stats[:, 0, :, LANE_N]
 
     def root_q(self) -> jax.Array:
         """f32[B, A] root edge Q values (diagnostics)."""
-        n = self.N[:, 0, :]
-        return self.W[:, 0, :] / jnp.maximum(n, 1).astype(jnp.float32)
+        n = self.stats[:, 0, :, LANE_N]
+        return self.stats[:, 0, :, LANE_W] / jnp.maximum(n, 1.0)
+
+
+def pack_stats_row(n, w, p_masked, child) -> jax.Array:
+    """Assemble an edge-stats row [..., A, 4] from its lanes."""
+    return jnp.stack(
+        [n, w, p_masked, child.astype(jnp.float32) if child.dtype != jnp.float32 else child],
+        axis=-1,
+    )
 
 
 def init_tree(game, root_state: Any, capacity: int) -> Tree:
     """Allocate trees with the (batched) root installed in slot 0.
 
     The analogue of ``NodeStore::from_root`` (node.rs:156-166), except the
-    root's valid mask and terminality are computed here and its prior is
+    root's legality mask and terminality are computed here and its prior is
     installed by the search (fixing reference defect D1's never-initialized
     root policy, SURVEY.md §8).
     """
@@ -99,14 +141,14 @@ def init_tree(game, root_state: Any, capacity: int) -> Tree:
     root_valid = jax.vmap(game.valid_moves)(root_state)
     root_done, root_tval = jax.vmap(game.terminal)(root_state)
 
-    return Tree(
-        N=jnp.zeros((B, C, A), jnp.int32),
-        W=jnp.zeros((B, C, A), jnp.float32),
-        P=jnp.zeros((B, C, A), jnp.float32),
-        child=jnp.full((B, C, A), UNVISITED, jnp.int32),
-        state=state,
-        valid=jnp.zeros((B, C, A), bool).at[:, 0].set(root_valid),
-        term=jnp.zeros((B, C), bool).at[:, 0].set(root_done),
-        tval=jnp.zeros((B, C), jnp.float32).at[:, 0].set(root_tval),
-        count=jnp.ones((B,), jnp.int32),
-    )
+    stats = jnp.zeros((B, C, A, 4), jnp.float32)
+    stats = stats.at[..., LANE_CHILD].set(UNVISITED)
+    # root prior lanes start as "legal with prior 0"; the search overwrites
+    # them with the masked NN prior before the first simulation.
+    stats = stats.at[:, 0, :, LANE_P].set(jnp.where(root_valid, 0.0, INVALID_P))
+
+    node = jnp.zeros((B, C, 2), jnp.float32)
+    node = node.at[:, 0, 0].set(root_done.astype(jnp.float32))
+    node = node.at[:, 0, 1].set(root_tval)
+
+    return Tree(stats=stats, node=node, state=state, count=jnp.ones((B,), jnp.int32))

@@ -1,0 +1,15 @@
+from alphazero_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "param_shardings",
+    "replicated",
+    "shard_batch",
+]

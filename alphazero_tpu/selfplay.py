@@ -1,0 +1,185 @@
+"""Batched self-play episode generation.
+
+Re-design of the reference's episode machinery: ``Coach::execute_episode``
+(reference: src/coach.rs:104-157) played ONE game per rayon task with a
+fresh AsyncMcts each. Here a whole batch of games advances one move per
+step under a single ``jit``: every move runs the vectorized search on all
+boards at once, samples actions, steps the dynamics, and records training
+samples — the rayon pool (coach.rs:202-272) becomes the batch axis, which
+is also the mesh's data-parallel axis.
+
+Semantics kept from the reference:
+* temperature schedule: temp = 1 before move ``temp_threshold``, 0 after
+  (coach.rs:122-126);
+* the stored policy target is the *temperature-applied* play distribution
+  (coach.rs:130-138 stores the same ``pi`` it samples from);
+* outcome assignment walks back from the final result — here with draws
+  propagated as exact 0 (fixing defect D7, coach.rs:147-154 binarized
+  draws to ±1);
+* per-move RNG is a split key per (move, purpose), replacing the
+  reference's cloned-master-RNG scheme (defect D9, coach.rs:258).
+
+Symmetry augmentation (coach.rs:130-135) happens at replay-insertion time,
+not here — the trajectory stores one sample per move and the replay
+expands ``game.symmetries`` (see replay.py).
+
+The search runs on finished boards too (their terminal roots are inert and
+their samples are masked) — lockstep wastes those slots but keeps one
+compiled program. ``play_games`` runs a fixed ``max_moves``-step scan;
+steady-state actors that recycle finished games live in bench/coach.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
+from alphazero_tpu.mcts.search import make_search_fn
+from alphazero_tpu.ops import action_probs
+
+
+class Trajectory(NamedTuple):
+    """SoA self-play samples — the on-device TrainingSample batch
+    (the analogue of nnet.rs:7-45 ``TrainingSample``/``SOATrainingSamples``,
+    already in SOA layout so no AOS->SOA shuffle pass is needed
+    (coach.rs:296-326))."""
+
+    features: jax.Array  # f32[T, B, ...feature_shape]
+    pi: jax.Array        # f32[T, B, A] policy targets (temp-applied)
+    value: jax.Array     # f32[T, B] outcome from the sample's perspective
+    valid: jax.Array     # bool[T, B] sample corresponds to a real move
+
+
+class SelfPlayStats(NamedTuple):
+    outcome: jax.Array     # f32[B] terminal value (final to-move perspective)
+    num_moves: jax.Array   # i32[B] moves actually played
+    done: jax.Array        # bool[B] game finished within max_moves
+
+
+def make_selfplay_fn(
+    game,
+    apply_fn,
+    mcts_cfg: MCTSConfig,
+    sp_cfg: SelfPlayConfig,
+) -> Callable[[Any, jax.Array], Tuple[Trajectory, SelfPlayStats]]:
+    """Build ``play_games(params, rng) -> (Trajectory, SelfPlayStats)``.
+
+    The returned function plays ``sp_cfg.batch_size`` games from the initial
+    position to termination (or ``max_moves``) under one jit.
+    """
+    search = make_search_fn(game, apply_fn, mcts_cfg)
+    step_v = jax.vmap(game.step)
+    term_v = jax.vmap(game.terminal)
+    feat_v = jax.vmap(game.to_features)
+    B = sp_cfg.batch_size
+    T = sp_cfg.max_moves or game.max_moves
+
+    def play_games(params, rng: jax.Array):
+        init_state = jax.vmap(lambda _: game.init())(jnp.arange(B))
+
+        def move(carry, t):
+            state, done, outcome, moves, rng = carry
+            rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
+
+            tree = search(params, state, rng=k_noise)
+            temp = jnp.where(t < sp_cfg.temp_threshold, 1.0, 0.0)
+            pi = action_probs(tree.root_counts(), temp, k_tie)
+            feats = feat_v(state)
+
+            action = jax.random.categorical(k_act, jnp.log(pi + 1e-12), axis=-1)
+            nxt = step_v(state, action)
+            state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    done.reshape((-1,) + (1,) * (n.ndim - 1)), o, n
+                ),
+                nxt,
+                state,
+            )
+            now_done, tv = term_v(state)
+            outcome = jnp.where(~done & now_done, tv, outcome)
+            moves = moves + (~done).astype(jnp.int32)
+            emitted_valid = ~done
+            done = done | now_done
+            return (state, done, outcome, moves, rng), (feats, pi, emitted_valid)
+
+        carry0 = (
+            init_state,
+            jnp.zeros((B,), bool),
+            jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B,), jnp.int32),
+            rng,
+        )
+        (state, done, outcome, moves, _), (feats, pis, valid) = jax.lax.scan(
+            move, carry0, jnp.arange(T)
+        )
+
+        # Outcome from each sample's perspective: sample t's player sits
+        # (moves - t) plies before the terminal to-move player; odd distance
+        # flips the sign (negamax walk-back, replacing coach.rs:147-154's
+        # binarized player == final-player test).
+        t_idx = jnp.arange(T)[:, None]
+        dist = moves[None, :] - t_idx
+        sign = jnp.where(dist % 2 == 1, -1.0, 1.0)
+        # unfinished games (hit max_moves without terminal): value 0
+        z = jnp.where(done, outcome, 0.0)
+        value = sign * z[None, :] * valid
+
+        traj = Trajectory(features=feats, pi=pis, value=value, valid=valid)
+        return traj, SelfPlayStats(outcome=outcome, num_moves=moves, done=done)
+
+    return play_games
+
+
+def make_actor_step_fn(
+    game,
+    apply_fn,
+    mcts_cfg: MCTSConfig,
+    batch_size: int,
+    temp_threshold: int,
+):
+    """Steady-state actor: one search+move for every board, with finished
+    games recycled to the initial position (episode recycling — SURVEY.md §7
+    hard-parts (d)). Every call advances exactly ``batch_size`` real env
+    steps, so actor throughput is constant; this is the production
+    self-play loop and the bench kernel.
+
+    Returns ``actor_step(params, carry, rng) -> (carry, Sample)`` where
+    carry = (state, move_count) and Sample carries one training sample per
+    board (features, pi, value-placeholder is resolved by the replay via
+    per-game episode accounting — callers that need exact value targets use
+    ``make_selfplay_fn``; the bench only needs throughput).
+    """
+    search = make_search_fn(game, apply_fn, mcts_cfg)
+    step_v = jax.vmap(game.step)
+    term_v = jax.vmap(game.terminal)
+    B = batch_size
+
+    def reset_where(mask, state):
+        fresh = jax.vmap(lambda _: game.init())(jnp.arange(B))
+        return jax.tree_util.tree_map(
+            lambda f, s: jnp.where(mask.reshape((-1,) + (1,) * (s.ndim - 1)), f, s),
+            fresh,
+            state,
+        )
+
+    def init_carry():
+        state = jax.vmap(lambda _: game.init())(jnp.arange(B))
+        return state, jnp.zeros((B,), jnp.int32)
+
+    def actor_step(params, carry, rng):
+        state, move_count = carry
+        k_noise, k_tie, k_act = jax.random.split(rng, 3)
+        tree = search(params, state, rng=k_noise)
+        temp = jnp.where(move_count < temp_threshold, 1.0, 0.0)
+        pi = action_probs(tree.root_counts(), temp, k_tie)
+        action = jax.random.categorical(k_act, jnp.log(pi + 1e-12), axis=-1)
+        state = step_v(state, action)
+        done, _ = term_v(state)
+        move_count = jnp.where(done, 0, move_count + 1)
+        state = reset_where(done, state)
+        return (state, move_count), pi
+
+    return init_carry, actor_step

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: MCTS-backed env-steps/s/chip on connect-four.
+
+Runs the steady-state self-play actor (BASELINE config 1 semantics: pure
+MCTS, uniform prior, 100 simulations per move) on the default backend (the
+real TPU chip under the driver) and prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the 100k env-steps/s/chip north-star target
+(BASELINE.md — the reference itself publishes no numbers).
+
+Batch size is the TPU-native operating point (thousands of lockstep games);
+override with AZ_BENCH_BATCH / AZ_BENCH_SIMS / AZ_BENCH_STEPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# persistent compilation cache: first-compile over the remote tunnel is
+# slow; later rounds reuse it.
+cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+from alphazero_tpu.config import MCTSConfig
+from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.models import make_uniform_model
+from alphazero_tpu.selfplay import make_actor_step_fn
+
+BASELINE_TARGET = 100_000.0  # env-steps/s/chip (BASELINE.json north_star)
+
+
+def main():
+    batch = int(os.environ.get("AZ_BENCH_BATCH", 8192))
+    sims = int(os.environ.get("AZ_BENCH_SIMS", 100))
+    steps = int(os.environ.get("AZ_BENCH_STEPS", 20))
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=sims, max_depth=48)
+    init_carry, actor_step = make_actor_step_fn(
+        game, net.apply_fn, cfg, batch_size=batch, temp_threshold=15
+    )
+    step = jax.jit(actor_step)
+
+    carry = init_carry()
+    key = jax.random.key(0)
+
+    # warmup: compile + 2 steps
+    for i in range(2):
+        key, sub = jax.random.split(key)
+        carry, pi = step({}, carry, sub)
+    jax.block_until_ready(pi)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        carry, pi = step({}, carry, sub)
+    jax.block_until_ready(pi)
+    dt = time.perf_counter() - t0
+
+    env_steps = steps * batch
+    eps = env_steps / dt
+    n_chips = max(jax.device_count(), 1)
+    eps_per_chip = eps / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "mcts_env_steps_per_sec_per_chip_connect4",
+                "value": round(eps_per_chip, 1),
+                "unit": "env_steps/s/chip",
+                "vs_baseline": round(eps_per_chip / BASELINE_TARGET, 3),
+                "detail": {
+                    "batch_games": batch,
+                    "sims_per_move": sims,
+                    "timed_moves": steps,
+                    "seconds": round(dt, 3),
+                    "sims_per_sec": round(eps * sims, 0),
+                    "backend": jax.default_backend(),
+                    "devices": n_chips,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

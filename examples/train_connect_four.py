@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Train AlphaZero on Connect-Four — the example binary.
+
+The analogue of the reference's example (reference:
+examples/connect_four.rs:53-80), which wired ConnectFourGame + a dummy
+uniform net into Coach::setup(...15 positional hyperparameters...) +
+learn(). Here the same run is a typed config + a Coach over a real net.
+
+Usage:
+  python examples/train_connect_four.py                 # tiny smoke run
+  python examples/train_connect_four.py --preset full   # conv resnet run
+  python examples/train_connect_four.py --cpu           # force CPU
+"""
+
+import argparse
+import logging
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["smoke", "mlp", "full"], default="smoke")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import (
+        ArenaConfig,
+        AZConfig,
+        MCTSConfig,
+        ReplayConfig,
+        SelfPlayConfig,
+        TrainConfig,
+    )
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.models import AZResNet, MLPNet
+
+    game = ConnectFour()
+
+    if args.preset == "smoke":
+        model = MLPNet(num_actions=game.num_actions, hidden=(64,))
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=16, max_depth=24),
+            selfplay=SelfPlayConfig(batch_size=16, temp_threshold=15),
+            replay=ReplayConfig(capacity=1 << 14),
+            train=TrainConfig(batch_size=64, steps_per_iteration=16),
+            arena=ArenaConfig(num_games=16, update_threshold=0.55, num_sims=8),
+            num_iterations=3,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    elif args.preset == "mlp":
+        # BASELINE config 2: tiny MLP, single-chip self-play + train loop
+        model = MLPNet(num_actions=game.num_actions, hidden=(256, 256))
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=50, max_depth=48),
+            selfplay=SelfPlayConfig(batch_size=512, temp_threshold=15),
+            replay=ReplayConfig(capacity=1 << 17),
+            train=TrainConfig(batch_size=512, steps_per_iteration=128),
+            arena=ArenaConfig(num_games=128, update_threshold=0.55, num_sims=25),
+            num_iterations=20,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    else:
+        # BASELINE config 3: conv resnet, batched self-play 4096 games
+        model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=100, max_depth=48, dirichlet_alpha=1.0),
+            selfplay=SelfPlayConfig(batch_size=4096, temp_threshold=15),
+            replay=ReplayConfig(capacity=1 << 20),
+            train=TrainConfig(batch_size=1024, steps_per_iteration=512),
+            arena=ArenaConfig(num_games=256, update_threshold=0.55, num_sims=50),
+            num_iterations=50,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+
+    coach = Coach(game, model, cfg)
+    n = args.iterations if args.iterations is not None else cfg.num_iterations
+    records = coach.learn(n)
+    last = records[-1]
+    print(
+        f"done: iterations={last['iteration']} model_id={last['model_id']} "
+        f"elo={coach.elo.ratings.get(coach.model_id, 0.0):.1f} "
+        f"replay={last['replay_size']}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Coach loop + checkpoint/resume tests (Coach had zero reference
+coverage — SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from alphazero_tpu.coach import Coach
+from alphazero_tpu.config import (
+    ArenaConfig,
+    AZConfig,
+    MCTSConfig,
+    ReplayConfig,
+    SelfPlayConfig,
+    TrainConfig,
+)
+from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.models import MLPNet
+
+
+def tiny_cfg(tmp=None, seed=0):
+    return AZConfig(
+        mcts=MCTSConfig(num_sims=8, max_depth=16),
+        selfplay=SelfPlayConfig(batch_size=4, temp_threshold=6),
+        replay=ReplayConfig(capacity=2048),
+        train=TrainConfig(batch_size=32, steps_per_iteration=4, learning_rate=1e-3),
+        arena=ArenaConfig(num_games=4, update_threshold=0.6, num_sims=4),
+        num_iterations=2,
+        seed=seed,
+        checkpoint_dir=str(tmp) if tmp else None,
+    )
+
+
+def make_coach(tmp=None, seed=0):
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    return Coach(game, model, tiny_cfg(tmp, seed))
+
+
+def test_run_iteration_record():
+    coach = make_coach()
+    rec = coach.run_iteration()
+    assert rec["iteration"] == 1
+    assert rec["replay_size"] > 0
+    assert np.isfinite(rec["loss_last"])
+    assert rec["arena_wins"] + rec["arena_losses"] + rec["arena_draws"] <= 4
+    assert rec["model_id"] in (0, 1)
+    assert rec["accepted"] == (rec["model_id"] == 1)
+    # phase timers recorded
+    for phase in ("t_selfplay", "t_train", "t_arena"):
+        assert phase in rec
+
+
+def test_learn_multiple_iterations():
+    coach = make_coach(seed=1)
+    records = coach.learn(2)
+    assert [r["iteration"] for r in records] == [1, 2]
+    assert records[1]["replay_total"] > records[0]["replay_total"]
+    # model_id monotone, incremented only on acceptance
+    assert records[1]["model_id"] >= records[0]["model_id"]
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    coach = make_coach(tmp_path, seed=2)
+    coach.learn(2)
+    saved_params = jax.tree_util.tree_leaves(coach.incumbent.params)
+    saved_iter, saved_mid = coach.iteration, coach.model_id
+    saved_replay_total = int(coach.replay.total)
+
+    resumed = make_coach(tmp_path, seed=2)
+    assert resumed.iteration == saved_iter
+    assert resumed.model_id == saved_mid
+    assert int(resumed.replay.total) == saved_replay_total
+    for a, b in zip(saved_params, jax.tree_util.tree_leaves(resumed.incumbent.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resumed coach keeps training without error
+    rec = resumed.run_iteration()
+    assert rec["iteration"] == saved_iter + 1
+    # metrics jsonl exists
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_elo_tracker_semantics():
+    from alphazero_tpu.utils import EloTracker, elo_from_match
+
+    t = EloTracker()
+    r = t.record_match(1, 0, wins=8, losses=2, draws=0, accepted=True)
+    assert r > 0
+    assert t.ratings[1] == r
+    r2 = t.record_match(2, 1, wins=0, losses=10, draws=0, accepted=False)
+    assert r2 < r
+    assert 2 not in t.ratings
+    # draws-only match keeps the rating where it is
+    assert elo_from_match(100.0, 0, 0, 10) == pytest.approx(100.0)
+    # empty match is inert
+    assert elo_from_match(50.0, 0, 0, 0) == 50.0
