@@ -11,18 +11,18 @@ all ``B`` leaves is *inlined* (replacing the channel round-trip
 async_mcts.rs:305-315), and backup is one scatter-add along the recorded
 paths. No locks, no virtual loss, no queues.
 
-Hot-loop design (the per-iteration cost is kernel launches, not FLOPs):
-each descent step issues ONE gathered stats row per tree (the packed
-``[A, 4]`` N/W/P/child layout, see tree.py), one packed node-info gather,
-and one packed path-record scatter; the backup is a single fused
-scatter-add into the (N, W) lanes. This is what makes thousands of trees
-per chip cheap.
+Hot-loop economics (see tree.py for the flat layout): every descent step
+issues ONE gathered 4A-lane row per tree plus one 2-lane node-info gather
+and one 2-lane path-record scatter; expansion writes one 4A-lane row; the
+backup is ONE fused scatter-add covering both N and W planes. All indices
+are minor-dimension (lane) offsets into flat [B, M] arrays, so nothing
+tile-pads and nothing serializes.
 
 Intended-semantics fidelity (SURVEY.md §8): the PUCT formula is
 node.rs:352-356 verbatim (``Q + cpuct * P[a] * sqrt(N_parent + EPS) /
 (1 + N_child)`` with EPS = 1e-6); depth cutoff backs up ``eval_heuristic``
-(async_mcts.rs:241-243); terminal nodes break the descent and back up their
-stored value (async_mcts.rs:246-249); masked-softmax priors with
+(async_mcts.rs:241-243); terminal nodes break the descent and back up
+their stored value (async_mcts.rs:246-249); masked-softmax priors with
 uniform-over-valids fallback (async_mcts.rs:319-345). Backup applies
 **negamax sign alternation** — fixing defect D5 (async_mcts.rs:361-370
 applied the same value at every level).
@@ -38,12 +38,9 @@ import jax.numpy as jnp
 from alphazero_tpu.config import MCTSConfig, PUCT_EPS
 from alphazero_tpu.mcts.tree import (
     INVALID_P,
-    LANE_CHILD,
-    LANE_N,
-    LANE_P,
-    LANE_W,
     Tree,
     init_tree,
+    np_prod,
 )
 from alphazero_tpu.ops import masked_policy
 
@@ -51,20 +48,18 @@ from alphazero_tpu.ops import masked_policy
 ApplyFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
-def puct_scores(stats_row: jax.Array, cpuct: float) -> jax.Array:
-    """Batched PUCT over one packed node row [B, A, 4]
+def puct_scores(
+    n_row: jax.Array, w_row: jax.Array, p_row: jax.Array, cpuct: float
+) -> jax.Array:
+    """Batched PUCT over one node's edge rows [B, A]
     (node.rs:343-370 best_child).
 
     Q of an unvisited edge is 0. Illegal actions carry the INVALID_P prior
     sentinel and are forced to -inf after the fused formula."""
-    n = stats_row[..., LANE_N]
-    w = stats_row[..., LANE_W]
-    p = stats_row[..., LANE_P]
-    q = w / jnp.maximum(n, 1.0)
-    n_parent = jnp.sum(n, axis=-1, keepdims=True)
-    u = cpuct * p * jnp.sqrt(n_parent + PUCT_EPS) / (1.0 + n)
-    score = q + u
-    return jnp.where(p <= INVALID_P * 0.5, -jnp.inf, score)
+    q = w_row / jnp.maximum(n_row, 1.0)
+    n_parent = jnp.sum(n_row, axis=-1, keepdims=True)
+    u = cpuct * p_row * jnp.sqrt(n_parent + PUCT_EPS) / (1.0 + n_row)
+    return jnp.where(p_row <= INVALID_P * 0.5, -jnp.inf, q + u)
 
 
 def make_search_fn(
@@ -84,6 +79,7 @@ def make_search_fn(
     A = game.num_actions
     C = cfg.nodes
     D = cfg.max_depth
+    CA = C * A
     cpuct = float(cfg.cpuct)
 
     step_v = jax.vmap(game.step)
@@ -92,12 +88,31 @@ def make_search_fn(
     feat_v = jax.vmap(game.to_features)
     heur_v = jax.vmap(game.eval_heuristic)
 
-    def _select(tree: Tree):
-        """Descend every tree to its frontier; record paths.
+    a_iota = jnp.arange(A)[None, :]          # [1, A]
+    plane4 = jnp.arange(4)[None, :, None] * CA  # [1, 4, 1]
 
-        Returns the per-game descent record: packed path buffer, depth, and
-        the disposition masks (expand / terminal-hit / depth-cutoff)."""
-        B = tree.batch_size
+    def gather_rows(arr, idx):
+        """take_along_axis over the flat (lane) dim."""
+        return jnp.take_along_axis(arr, idx, axis=1)
+
+    # per-leaf unbatched shapes, captured once from a template state
+    template = game.init()
+    t_leaves, t_def = jax.tree_util.tree_flatten(template)
+    leaf_shapes = [tuple(x.shape) for x in t_leaves]
+
+    def gather_node_state(state, n):
+        """Unflatten one node's game state for every tree: [B] -> pytree."""
+        leaves = jax.tree_util.tree_leaves(state)
+        out = []
+        for leaf, shape in zip(leaves, leaf_shapes):
+            L = np_prod(shape)
+            idx = n[:, None] * L + jnp.arange(L)[None, :]
+            out.append(gather_rows(leaf, idx).reshape((n.shape[0],) + shape))
+        return jax.tree_util.tree_unflatten(t_def, out)
+
+    def _select(tree: Tree):
+        """Descend every tree to its frontier; record paths."""
+        B = tree.stats.shape[0]
         bidx = jnp.arange(B)
 
         def cond(c):
@@ -105,23 +120,32 @@ def make_search_fn(
 
         def body(c):
             n = c["node"]
-            row = tree.stats[bidx, n]                 # ONE gather: [B, A, 4]
-            score = puct_scores(row, cpuct)
+            edge0 = n[:, None] * A + a_iota                       # [B, A]
+            idx4 = (edge0[:, None, :] + plane4).reshape(B, 4 * A)  # [B, 4A]
+            row = gather_rows(tree.stats, idx4)                    # ONE gather
+            n_row = row[:, :A]
+            w_row = row[:, A : 2 * A]
+            p_row = row[:, 2 * A : 3 * A]
+            c_row = row[:, 3 * A :]
+
+            score = puct_scores(n_row, w_row, p_row, cpuct)
             a = jnp.argmax(score, axis=-1).astype(jnp.int32)
-            child_f = jnp.take_along_axis(
-                row[..., LANE_CHILD], a[:, None], axis=-1
-            )[:, 0]
+            child_f = jnp.take_along_axis(c_row, a[:, None], axis=1)[:, 0]
 
             active = c["active"]
-            # record the edge taken at slot `depth` (sentinel D drops)
-            slot = jnp.where(active, c["depth"], D)
-            rec = jnp.stack([n.astype(jnp.float32), a.astype(jnp.float32)], -1)
-            path = c["path"].at[bidx, slot, :].set(rec, mode="drop")
+            # record the edge taken at slot `depth` (sentinel 2D drops)
+            slot = jnp.where(active, c["depth"], 2 * D)
+            rec_idx = jnp.stack([slot, D + jnp.minimum(slot, D)], -1)  # [B,2]
+            rec_val = jnp.stack([n, a], -1)
+            path = c["path"].at[bidx[:, None], rec_idx].set(
+                rec_val, mode="drop"
+            )
             depth1 = c["depth"] + 1
 
             unexp = child_f < 0.0
             child_c = jnp.maximum(child_f, 0.0).astype(jnp.int32)
-            cterm = ~unexp & (tree.node[bidx, child_c, 0] > 0.5)
+            cterm_f = jnp.take_along_axis(tree.node, child_c[:, None], axis=1)[:, 0]
+            cterm = ~unexp & (cterm_f > 0.5)
             cutoff = ~unexp & ~cterm & (depth1 >= D)
             go = active & ~unexp & ~cterm & ~cutoff
 
@@ -140,43 +164,53 @@ def make_search_fn(
                 "leaf_node": jnp.where(stop_leaf, child_c, c["leaf_node"]),
             }
 
+        B_ = tree.stats.shape[0]
         init = {
-            "node": jnp.zeros((B,), jnp.int32),
-            "depth": jnp.zeros((B,), jnp.int32),
-            "active": tree.node[:, 0, 0] < 0.5,  # terminal roots never search
-            "path": jnp.zeros((B, D, 2), jnp.float32),
-            "exp_mask": jnp.zeros((B,), bool),
-            "exp_parent": jnp.zeros((B,), jnp.int32),
-            "exp_action": jnp.zeros((B,), jnp.int32),
-            "term_mask": jnp.zeros((B,), bool),
-            "cut_mask": jnp.zeros((B,), bool),
-            "leaf_node": jnp.zeros((B,), jnp.int32),
+            "node": jnp.zeros((B_,), jnp.int32),
+            "depth": jnp.zeros((B_,), jnp.int32),
+            "active": tree.node[:, 0] < 0.5,  # terminal roots never search
+            "path": jnp.zeros((B_, 2 * D), jnp.int32),  # [n-plane | a-plane]
+            "exp_mask": jnp.zeros((B_,), bool),
+            "exp_parent": jnp.zeros((B_,), jnp.int32),
+            "exp_action": jnp.zeros((B_,), jnp.int32),
+            "term_mask": jnp.zeros((B_,), bool),
+            "cut_mask": jnp.zeros((B_,), bool),
+            "leaf_node": jnp.zeros((B_,), jnp.int32),
         }
         return jax.lax.while_loop(cond, body, init)
 
     def _simulate(params, tree: Tree) -> Tree:
         """One simulation for every game: select -> expand -> evaluate ->
         backup (the vectorized search_iteration, async_mcts.rs:219-371)."""
-        B = tree.batch_size
+        B = tree.stats.shape[0]
         bidx = jnp.arange(B)
         sel = _select(tree)
 
         # ---- EXPAND (async_mcts.rs:279-356, minus the lock protocol) ----
-        parent_state = jax.tree_util.tree_map(
-            lambda l: l[bidx, sel["exp_parent"]], tree.state
-        )
+        parent_state = gather_node_state(tree.state, sel["exp_parent"])
         new_state = step_v(parent_state, sel["exp_action"])
         new_valid = valid_v(new_state)
         new_done, new_tval = term_v(new_state)
 
         new_idx = tree.count
         exp_ok = sel["exp_mask"] & (new_idx < C)  # graceful out-of-capacity
-        widx = jnp.where(exp_ok, new_idx, C)      # C is OOB -> dropped
-        state = jax.tree_util.tree_map(
-            lambda buf, x: buf.at[bidx, widx].set(x, mode="drop"),
-            tree.state,
-            new_state,
-        )
+        # flat scatters below re-derive OOB sentinels per target array:
+        # a clamped node index alone is NOT out of bounds in a flat layout.
+        widx = jnp.where(exp_ok, new_idx, C)
+
+        def write_state(state_bufs, xs):
+            bufs = jax.tree_util.tree_leaves(state_bufs)
+            vals = jax.tree_util.tree_leaves(xs)
+            out = []
+            for buf, x, shape in zip(bufs, vals, leaf_shapes):
+                L = np_prod(shape)
+                idx = widx[:, None] * L + jnp.arange(L)[None, :]
+                out.append(
+                    buf.at[bidx[:, None], idx].set(x.reshape(B, L), mode="drop")
+                )
+            return jax.tree_util.tree_unflatten(t_def, out)
+
+        state = write_state(tree.state, new_state)
         count = tree.count + exp_ok.astype(jnp.int32)
 
         # ---- EVALUATE: NN fused into the step (vs async_mcts.rs:305-315's
@@ -185,36 +219,48 @@ def make_search_fn(
         prior = masked_policy(logits, new_valid)
         p_masked = jnp.where(new_valid, prior, INVALID_P)
 
-        # one packed row write: N=0, W=0, P_masked, child=UNVISITED
+        # one fused row write: N = 0, W = 0, P_masked, child = UNVISITED
         zeros = jnp.zeros_like(prior)
-        new_row = jnp.stack(
-            [zeros, zeros, p_masked, jnp.full_like(prior, -1.0)], axis=-1
+        new_row = jnp.concatenate(
+            [zeros, zeros, p_masked, jnp.full_like(prior, -1.0)], axis=1
+        )  # [B, 4A]
+        widx_edge0 = widx[:, None] * A + a_iota
+        widx4 = (widx_edge0[:, None, :] + plane4).reshape(B, 4 * A)
+        widx4 = jnp.where(exp_ok[:, None], widx4, 4 * CA)  # OOB -> dropped
+        stats = tree.stats.at[bidx[:, None], widx4].set(new_row, mode="drop")
+        # node info planes (term | tval) in one scatter
+        node_idx = jnp.where(
+            exp_ok[:, None],
+            jnp.stack([widx, C + widx], -1),
+            2 * C,  # OOB -> dropped
         )
-        stats = tree.stats.at[bidx, widx].set(new_row, mode="drop")
-        new_info = jnp.stack([new_done.astype(jnp.float32), new_tval], -1)
-        node = tree.node.at[bidx, widx].set(new_info, mode="drop")
-        # link parent -> child (single lane scatter)
-        a_link = jnp.where(exp_ok, sel["exp_action"], A)
-        stats = stats.at[bidx, sel["exp_parent"], a_link, LANE_CHILD].set(
+        node = tree.node.at[bidx[:, None], node_idx].set(
+            jnp.stack([new_done.astype(jnp.float32), new_tval], -1), mode="drop"
+        )
+        # link parent -> child (single lane scatter into the child plane)
+        link_idx = jnp.where(
+            exp_ok, 3 * CA + sel["exp_parent"] * A + sel["exp_action"], 4 * CA
+        )
+        stats = stats.at[bidx, link_idx].set(
             new_idx.astype(jnp.float32), mode="drop"
         )
 
         # leaf value, from the leaf's player-to-move perspective
         v_expand = jnp.where(new_done, new_tval, v_nn)
-        leaf_state = jax.tree_util.tree_map(
-            lambda l: l[bidx, sel["leaf_node"]], tree.state
-        )
+        leaf_state = gather_node_state(state, sel["leaf_node"])
         v_cut = heur_v(leaf_state)
-        v_term = tree.node[bidx, sel["leaf_node"], 1]
+        v_term = jnp.take_along_axis(
+            tree.node, C + sel["leaf_node"][:, None], axis=1
+        )[:, 0]
         v_leaf = jnp.where(
             sel["exp_mask"],
             v_expand,
             jnp.where(sel["term_mask"], v_term, v_cut),
         )
 
-        # ---- BACKUP: one fused scatter-add along the path with negamax
-        # alternation (fixing D5; replaces the per-node atomic unvisit walk,
-        # async_mcts.rs:361-370 / node.rs:83-92) ----
+        # ---- BACKUP: one fused scatter-add over the N and W planes with
+        # negamax alternation (fixing D5; replaces the per-node atomic
+        # unvisit walk, async_mcts.rs:361-370 / node.rs:83-92) ----
         depth = sel["depth"]  # number of edges on the path
         did_sim = sel["exp_mask"] | sel["term_mask"] | sel["cut_mask"]
         d_pos = jnp.arange(D)[None, :]
@@ -223,15 +269,17 @@ def make_search_fn(
         # odd distance flips the sign once.
         sign = jnp.where((depth[:, None] - d_pos) % 2 == 1, -1.0, 1.0)
         vals = sign * v_leaf[:, None]
-        upd = jnp.stack([on_path.astype(jnp.float32), vals], -1)  # [B, D, 2]
-        path_n = sel["path"][..., 0].astype(jnp.int32)
-        path_a = jnp.where(
-            on_path, sel["path"][..., 1].astype(jnp.int32), A
-        )  # A is OOB -> dropped
-        b_sc = jnp.broadcast_to(bidx[:, None], path_a.shape)
-        stats = stats.at[b_sc, path_n, path_a, LANE_N : LANE_W + 1].add(
-            upd, mode="drop"
+        path_n = sel["path"][:, :D]
+        path_a = sel["path"][:, D:]
+        edge = path_n * A + path_a
+        on_path2 = jnp.concatenate([on_path, on_path], axis=1)
+        idx_nw = jnp.where(
+            on_path2,
+            jnp.concatenate([edge, CA + edge], axis=1),
+            4 * CA,  # OOB -> dropped
         )
+        upd = jnp.concatenate([on_path.astype(jnp.float32), vals], axis=1)
+        stats = stats.at[bidx[:, None], idx_nw].add(upd, mode="drop")
 
         return Tree(stats=stats, node=node, state=state, count=count)
 
@@ -246,7 +294,7 @@ def make_search_fn(
 
         # install root prior (the intended-but-broken first root expansion,
         # defect D1) + optional Dirichlet noise
-        root_valid = tree.stats[:, 0, :, LANE_P] > INVALID_P * 0.5
+        root_valid = jax.vmap(game.valid_moves)(root_state)
         logits, _ = apply_fn(params, feat_v(root_state))
         prior = masked_policy(logits, root_valid)
         if cfg.dirichlet_alpha is not None:
@@ -258,7 +306,9 @@ def make_search_fn(
             noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
             prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
         p_masked = jnp.where(root_valid, prior, INVALID_P)
-        tree = tree._replace(stats=tree.stats.at[:, 0, :, LANE_P].set(p_masked))
+        tree = tree._replace(
+            stats=tree.stats.at[:, 2 * CA : 2 * CA + A].set(p_masked)
+        )
 
         return jax.lax.fori_loop(0, sims, lambda i, t: _simulate(params, t), tree)
 
