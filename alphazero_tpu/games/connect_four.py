@@ -72,6 +72,7 @@ class ConnectFour:
     feature_shape = (ROWS, COLS, 2)
     max_moves = ROWS * COLS
     num_symmetries = 2
+    heuristic_is_zero = True  # lets the search skip the cutoff-state pass
 
     def init(self) -> ConnectFourState:
         return ConnectFourState(

@@ -54,10 +54,11 @@ def test_tree_structural_invariants():
     count = np.asarray(tree.count)
     C = tree.capacity
     assert np.all(count <= C)
-    # children indices in range and only below the allocation cursor
+    assert int(tree.cursor) <= C
+    # children indices in range and only below the lockstep slot cursor
     for b in range(N.shape[0]):
         kids = child[b][child[b] >= 0]
-        assert np.all(kids < count[b])
+        assert np.all(kids < int(tree.cursor))
         # no node is pointed at twice (pure tree, no DAG/transposition)
         assert len(kids) == len(np.unique(kids))
     # Q bounded by game value range
@@ -83,6 +84,16 @@ def test_blocks_immediate_threat():
     tree = run_search([[0, 1, 0, 1, 0]], num_sims=300, max_depth=16)
     counts = np.asarray(tree.root_counts())[0]
     assert counts.argmax() == 0, f"expected block at col 0, counts={counts}"
+
+
+def test_full_column_never_visited():
+    # regression: a root with an illegal move (full column) must never give
+    # that action a visit — the -inf-times-zero NaN poisoning bug.
+    tree = run_search([[2, 2, 2, 2, 2, 2, 0, 1]], num_sims=60, max_depth=16)
+    counts = np.asarray(tree.root_counts())[0]
+    assert counts[2] == 0, f"illegal column visited: {counts}"
+    assert counts.sum() == 60
+    assert np.isfinite(np.asarray(tree.W)).all()
 
 
 def test_terminal_root_is_inert():
