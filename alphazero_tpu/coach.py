@@ -95,6 +95,25 @@ class Coach:
         self.metrics = MetricsLogger(cfg.checkpoint_dir)
         self.timer = PhaseTimer()
 
+        # optional native host archive of training samples — the durable
+        # twin of the reference's `{iteration}.examples` files
+        # (coach.rs:159-167); requires the C++ toolchain.
+        self.example_store = None
+        if cfg.checkpoint_dir:
+            try:
+                from alphazero_tpu import native
+
+                if native.available():
+                    self.example_store = native.ExampleStore(
+                        cfg.replay.capacity,
+                        feat_size=int(
+                            __import__("math").prod(game.feature_shape)
+                        ),
+                        num_actions=game.num_actions,
+                    )
+            except Exception:
+                self.example_store = None
+
         if cfg.checkpoint_dir:
             self._maybe_resume()
 
@@ -129,6 +148,23 @@ class Coach:
         else:
             self.iteration = step
 
+    def _archive_examples(self, traj) -> None:
+        """Mirror the iteration's raw samples into the native store and
+        persist them as `{iteration}.examples` (save_train_examples,
+        coach.rs:159-167 — written inside the checkpoint dir, fixing D6)."""
+        import numpy as np
+
+        valid = np.asarray(traj.valid).reshape(-1)
+        feats = np.asarray(traj.features).reshape(valid.shape[0], -1)[valid]
+        pis = np.asarray(traj.pi).reshape(valid.shape[0], -1)[valid]
+        vals = np.asarray(traj.value).reshape(-1)[valid]
+        self.example_store.append(feats, pis, vals)
+        import os
+
+        self.example_store.save(
+            os.path.join(self.cfg.checkpoint_dir, f"{self.iteration}.examples")
+        )
+
     def save(self) -> None:
         if not self.cfg.checkpoint_dir:
             return
@@ -161,6 +197,8 @@ class Coach:
         with self.timer.phase("replay_insert"):
             self.replay = self._insert(self.replay, traj)
             jax.block_until_ready(self.replay.pos)
+        if self.example_store is not None:
+            self._archive_examples(traj)
         with self.timer.phase("train"):
             candidate, losses = self._train_phase(self.incumbent, self.replay, k_train)
             jax.block_until_ready(losses)

@@ -78,6 +78,7 @@ def make_search_fn(
     game,
     apply_fn: ApplyFn,
     cfg: MCTSConfig,
+    _ablate: str = "",
 ):
     """Build ``search(params, root_state, rng) -> Tree``.
 
@@ -111,10 +112,6 @@ def make_search_fn(
         """f32[B, C] one-hot over the lane (capacity) dim."""
         return (lane_c[None, :] == n[:, None]).astype(jnp.float32)
 
-    def select_row(plane3, oh):
-        """Dense row-select: [B, A, C] x [B, C] -> [B, A]."""
-        return jnp.sum(plane3 * oh[:, None, :], axis=-1)
-
     def select_lane(plane2, oh):
         """Dense lane-select: [B, C] x [B, C] -> [B]."""
         return jnp.sum(plane2 * oh, axis=-1)
@@ -131,20 +128,31 @@ def make_search_fn(
 
     def _select(tree: Tree, score: jax.Array):
         """Descend every tree to its frontier along the (frozen) dense
-        scores; record paths and the per-game disposition."""
+        scores; record paths and the per-game disposition.
+
+        Because tree statistics are frozen during a descent, the PUCT
+        argmax is a function of the node alone — so ``best_a``/``best_code``
+        are reduced ONCE per simulation to [B, C] planes, and each descent
+        level costs two thin lane-selects instead of full [B, A, C] passes.
+        """
         B = score.shape[0]
         bidx = jnp.arange(B)
         code_plane = tree.stats[:, PLANE_CHILD]  # [B, A, C]
+
+        best_a = jnp.argmax(score, axis=1)  # [B, C]
+        oh_best = (
+            jnp.arange(A)[None, :, None] == best_a[:, None, :]
+        ).astype(jnp.float32)
+        best_code = jnp.sum(code_plane * oh_best, axis=1)  # [B, C]
+        best_a_f = best_a.astype(jnp.float32)
 
         def cond(c):
             return jnp.any(c["active"])
 
         def body(c):
             oh = onehot_lane(c["node"])
-            srow = select_row(score, oh)
-            crow = select_row(code_plane, oh)
-            a = jnp.argmax(srow, axis=-1).astype(jnp.int32)
-            code = jnp.take_along_axis(crow, a[:, None], axis=1)[:, 0]
+            a = select_lane(best_a_f, oh).astype(jnp.int32)
+            code = select_lane(best_code, oh)
 
             active = c["active"]
             slot = jnp.where(active, c["depth"], D)
@@ -197,25 +205,46 @@ def make_search_fn(
         score = dense_puct_scores(tree.stats, cpuct)
         sel = _select(tree, score)
 
+        # perf-attribution knobs: duplicate one stage with an epsilon
+        # perturbation (defeats CSE) and fold it in at 1e-20 weight (a
+        # numerical no-op); the marginal steady-state time is that stage's
+        # cost under full dynamics.
+        probe = jnp.float32(0.0)
+        if _ablate == "2xscore":
+            probe = dense_puct_scores(tree.stats, cpuct * (1 + 1e-7))[:, 0, 0].sum()
+        elif _ablate == "2xselect":
+            probe = _select(tree, score * (1 + 1e-7))["depth"].sum().astype(jnp.float32)
+
         # ---- EXPAND (async_mcts.rs:279-356, minus the lock protocol) ----
         oh_parent = onehot_lane(sel["exp_parent"])
         parent_state = select_state(tree.state, oh_parent)
+        if _ablate == "2xboard":
+            alt = select_state(tree.state, onehot_lane((sel["exp_parent"] + 1) % C))
+            probe = probe + jax.tree_util.tree_leaves(alt)[0].astype(jnp.float32).sum()
         new_state = step_v(parent_state, sel["exp_action"])
         new_valid = valid_v(new_state)
         new_done, new_tval = term_v(new_state)
 
         s = tree.cursor  # scalar lockstep slot
         exp_ok = sel["exp_mask"] & (s < C)
-        s_w = jnp.minimum(s, C - 1)
 
         # ---- EVALUATE: NN fused into the step (vs async_mcts.rs:305-315's
         # channel round-trip to the inference service thread) ----
-        logits, v_nn = apply_fn(params, feat_v(new_state))
+        if getattr(apply_fn, "needs_features", True):
+            feats = feat_v(new_state)
+        else:
+            feats = jnp.zeros((B, 1), jnp.float32)
+        logits, v_nn = apply_fn(params, feats)
         prior = masked_policy(logits, new_valid)
         p_masked = jnp.where(new_valid, prior, INVALID_P)
 
-        # node-row writes at the slot lane (static dynamic_update_slice)
-        new_stats_row = jnp.stack(
+        # All tree writes are dense streaming passes (no dynamic-update
+        # surgery on the lane dim, which degrades to tile read-modify-write):
+        # the slot-row install, the parent->child link and the backup add
+        # below fuse into ONE pass over `stats`.
+        mask_slot = (lane_c == s)[None, None, None, :]          # [1,1,1,C]
+        write_mask = exp_ok[:, None, None, None] & mask_slot    # [B,1,1,C]
+        new_row4 = jnp.stack(
             [
                 jnp.zeros_like(prior),
                 jnp.zeros_like(prior),
@@ -223,21 +252,12 @@ def make_search_fn(
                 jnp.full_like(prior, -1.0),
             ],
             axis=1,
-        )[..., None]  # [B, 4, A, 1]
-        old_row = jax.lax.dynamic_slice_in_dim(tree.stats, s_w, 1, axis=3)
-        merged = jnp.where(exp_ok[:, None, None, None], new_stats_row, old_row)
-        stats = jax.lax.dynamic_update_slice_in_dim(tree.stats, merged, s_w, axis=3)
+        )  # [B, 4, A]
+        stats = jnp.where(write_mask, new_row4[:, :, :, None], tree.stats)
 
-        new_node_row = jnp.stack(
-            [new_done.astype(jnp.float32), new_tval], axis=1
-        )[..., None]  # [B, 2, 1]
-        old_node = jax.lax.dynamic_slice_in_dim(tree.node, s_w, 1, axis=2)
-        node = jax.lax.dynamic_update_slice_in_dim(
-            tree.node,
-            jnp.where(exp_ok[:, None, None], new_node_row, old_node),
-            s_w,
-            axis=2,
-        )
+        node_mask = exp_ok[:, None, None] & (lane_c == s)[None, None, :]
+        new_info = jnp.stack([new_done.astype(jnp.float32), new_tval], axis=1)
+        node = jnp.where(node_mask, new_info[:, :, None], tree.node)
 
         state_leaves = []
         for leaf, x, shape in zip(
@@ -246,17 +266,19 @@ def make_search_fn(
             leaf_shapes,
         ):
             L = np_prod(shape)
-            old = jax.lax.dynamic_slice_in_dim(leaf, s_w, 1, axis=2)
-            newv = jnp.where(
-                exp_ok[:, None, None], x.reshape(B, L, 1).astype(leaf.dtype), old
-            )
             state_leaves.append(
-                jax.lax.dynamic_update_slice_in_dim(leaf, newv, s_w, axis=2)
+                jnp.where(
+                    node_mask[:, :1],  # [B,1,C]
+                    x.reshape(B, L, 1).astype(leaf.dtype),
+                    leaf,
+                )
             )
         state = jax.tree_util.tree_unflatten(t_def, state_leaves)
 
-        # parent -> child link: fused dense add into the child-code plane.
+        # parent -> child link: dense add into the child-code plane.
         # unexpanded slots hold exactly -1, so adding (code + 1) sets them.
+        # (The backup-path lanes and the slot lane are disjoint from the
+        # link's (parent, action) lane, so the fused adds commute.)
         link_code = jnp.where(new_done, -2.0 - s.astype(jnp.float32), s.astype(jnp.float32))
         oh_a = (
             jnp.arange(A)[None, :] == sel["exp_action"][:, None]
@@ -264,7 +286,6 @@ def make_search_fn(
         link_add = (
             (link_code + 1.0) * exp_ok.astype(jnp.float32)
         )[:, None, None] * oh_a[:, :, None] * oh_parent[:, None, :]
-        stats = stats.at[:, PLANE_CHILD].add(link_add)
 
         count = tree.count + exp_ok.astype(jnp.int32)
         cursor = s + 1
@@ -306,8 +327,21 @@ def make_search_fn(
             oh_pn,
             preferred_element_type=jnp.float32,
         )  # [B, 2, A, C]
-        stats = stats.at[:, PLANE_N : PLANE_W + 1].add(upd)
+        if _ablate == "2xbackup":
+            upd2 = jnp.einsum(
+                "bkda,bdc->bkac",
+                (coeff * (1 + 1e-7))[:, :, :, None] * oh_pa[:, None, :, :],
+                oh_pn,
+                preferred_element_type=jnp.float32,
+            )
+            probe = probe + upd2[:, 0, 0, 0].sum()
+        # one fused add pass over stats: backup (N|W planes) + child link
+        zeros_p = jnp.zeros((B, 1, A, C), jnp.float32)
+        stats = stats + jnp.concatenate(
+            [upd, zeros_p, link_add[:, None]], axis=1
+        )
 
+        node = node.at[:, 1, 0].add(1e-20 * probe / (1e20 + jnp.abs(probe)))
         return Tree(stats=stats, node=node, state=state, count=count, cursor=cursor)
 
     def search(

@@ -37,17 +37,21 @@ class UniformModel:
         self.num_actions = num_actions
         self.value = value
 
+        def apply_fn(variables: Any, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
+            del variables
+            b = feats.shape[0]
+            return (
+                jnp.zeros((b, num_actions), jnp.float32),
+                jnp.full((b,), value, jnp.float32),
+            )
+
+        # the search skips feature materialization for feature-free models
+        apply_fn.needs_features = False
+        self.apply_fn = apply_fn
+
     def init(self, rng: jax.Array, sample: jax.Array) -> Any:
         del rng, sample
         return {}
-
-    def apply_fn(self, variables: Any, feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        del variables
-        b = feats.shape[0]
-        return (
-            jnp.zeros((b, self.num_actions), jnp.float32),
-            jnp.full((b,), self.value, jnp.float32),
-        )
 
 
 def make_uniform_model(game, value: float = 0.0) -> UniformModel:

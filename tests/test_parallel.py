@@ -1,0 +1,146 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+multi-host strategy via xla_force_host_platform_device_count).
+
+Validates that the data-parallel sharding of self-play, replay and the
+learner (a) compiles and executes over a real Mesh, and (b) is
+value-identical to the unsharded computation — the collectives XLA inserts
+must not change semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from alphazero_tpu.config import MCTSConfig, ReplayConfig, SelfPlayConfig, TrainConfig
+from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.models import MLPNet, make_uniform_model
+from alphazero_tpu.parallel import batch_sharding, make_mesh, param_shardings, shard_batch
+from alphazero_tpu.replay import replay_init, replay_insert, replay_sample
+from alphazero_tpu.selfplay import make_selfplay_fn
+from alphazero_tpu.train import init_train_state, make_train_step, variables_of
+
+G = ConnectFour()
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    mesh2 = make_mesh((4, 2))
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_selfplay_matches_unsharded():
+    net = make_uniform_model(G)
+    sp = make_selfplay_fn(
+        G,
+        net.apply_fn,
+        MCTSConfig(num_sims=8, max_depth=16),
+        SelfPlayConfig(batch_size=16, temp_threshold=6),
+    )
+    key = jax.random.key(0)
+    traj_ref, stats_ref = jax.jit(sp)({}, key)
+
+    mesh = make_mesh()
+    data_p = NamedSharding(mesh, P(None, "data"))
+    sp_sharded = jax.jit(
+        sp,
+        out_shardings=(
+            jax.tree_util.tree_map(
+                lambda _: data_p, jax.eval_shape(sp, {}, key)[0]
+            ),
+            None,
+        ),
+    )
+    traj_sh, stats_sh = sp_sharded({}, key)
+    np.testing.assert_array_equal(np.asarray(traj_ref.pi), np.asarray(traj_sh.pi))
+    np.testing.assert_array_equal(
+        np.asarray(stats_ref.num_moves), np.asarray(stats_sh.num_moves)
+    )
+    # outputs actually live sharded over the mesh
+    assert len(traj_sh.pi.sharding.device_set) == 8
+
+
+def test_sharded_train_step_matches_unsharded():
+    model = MLPNet(num_actions=7, hidden=(32,))
+    cfg = TrainConfig(learning_rate=1e-3)
+    state = init_train_state(model, jax.random.key(0), G.feature_shape, cfg)
+    step = make_train_step(model, cfg)
+    feats = jax.random.uniform(jax.random.key(1), (64, 6, 7, 2))
+    pi_t = jax.nn.one_hot(jax.random.randint(jax.random.key(2), (64,), 0, 7), 7)
+    v_t = jnp.sign(jax.random.normal(jax.random.key(3), (64,)))
+    rng = jax.random.key(4)
+
+    ref_state, ref_m = jax.jit(step)(state, feats, pi_t, v_t, rng)
+
+    mesh = make_mesh()
+    bp = batch_sharding(mesh)
+    sh_state, sh_m = jax.jit(step)(
+        state,
+        jax.device_put(feats, bp),
+        jax.device_put(pi_t, bp),
+        jax.device_put(v_t, bp),
+        rng,
+    )
+    # gradient psum across shards must reproduce the single-device update
+    np.testing.assert_allclose(
+        float(ref_m.loss), float(sh_m.loss), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params),
+        jax.tree_util.tree_leaves(sh_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_tensor_parallel_param_shardings():
+    model = MLPNet(num_actions=7, hidden=(64,))
+    cfg = TrainConfig()
+    state = init_train_state(model, jax.random.key(0), G.feature_shape, cfg)
+    mesh = make_mesh((4, 2))
+    shardings = param_shardings(mesh, state.params)
+    placed = jax.tree_util.tree_map(jax.device_put, state.params, shardings)
+    # the 64-wide hidden kernel shards over the 2-way model axis
+    kernel = placed["Dense_0"]["kernel"]
+    assert len(kernel.sharding.device_set) in (2, 8)
+    # forward pass under the mesh still works and matches
+    feats = jax.random.uniform(jax.random.key(1), (16, 6, 7, 2))
+    ref_logits, ref_v = model.apply({"params": state.params}, feats, train=False)
+    sh_logits, sh_v = jax.jit(
+        lambda p, f: model.apply({"params": p}, f, train=False)
+    )(placed, jax.device_put(feats, batch_sharding(mesh)))
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(sh_logits), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_sharded_replay_roundtrip():
+    mesh = make_mesh()
+    replay = replay_init(G, ReplayConfig(capacity=1024))
+    rep_sh = NamedSharding(mesh, P("data"))
+    replay = replay._replace(
+        features=jax.device_put(replay.features, rep_sh),
+        pi=jax.device_put(replay.pi, rep_sh),
+        value=jax.device_put(replay.value, rep_sh),
+    )
+    net = make_uniform_model(G)
+    sp = jax.jit(
+        make_selfplay_fn(
+            G,
+            net.apply_fn,
+            MCTSConfig(num_sims=4, max_depth=8),
+            SelfPlayConfig(batch_size=8, temp_threshold=4),
+        )
+    )
+    traj, _ = sp({}, jax.random.key(0))
+    replay = jax.jit(lambda r, t: replay_insert(r, G, t))(replay, traj)
+    assert int(replay.size) > 0
+    feats, pi, v = replay_sample(replay, jax.random.key(1), 32)
+    assert feats.shape == (32, 6, 7, 2)
+    assert np.isfinite(np.asarray(pi)).all()
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
