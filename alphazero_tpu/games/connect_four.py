@@ -12,8 +12,12 @@ exclusive loop bound). Feature layout is NHWC ``[6, 7, 2]`` everywhere,
 resolving the reference's three-way shape disagreement (defect D13:
 connect_four_game.rs:86-88 vs :219-220 vs connect_four_net.py:36-38).
 
-Everything is O(1)-shaped and branch-free so ``jax.vmap`` over thousands of
-boards compiles to a handful of fused VPU ops.
+The state is the board ALONE: the reference's auxiliary per-column
+``heights`` array (connect_four_game.rs:42-54) is derivable and would cost
+the search an extra stored plane per tree node, so it is recomputed where
+needed (one tiny reduce). Everything is O(1)-shaped and branch-free so
+``jax.vmap`` over thousands of boards compiles to a handful of fused VPU
+ops.
 """
 
 from __future__ import annotations
@@ -29,14 +33,14 @@ WIN = 4  # win length (connect_four_game.rs:15)
 
 
 class ConnectFourState(NamedTuple):
-    """Canonical board: +1 = player to move, -1 = opponent.
+    """Canonical board: +1 = player to move, -1 = opponent."""
 
-    ``height[c]`` is the number of pieces in column ``c`` (the reference
-    keeps the same auxiliary array, connect_four_game.rs:42-54).
-    """
+    board: jax.Array  # int8[ROWS, COLS]
 
-    board: jax.Array   # int8[ROWS, COLS]
-    height: jax.Array  # int32[COLS]
+
+def heights(state: ConnectFourState) -> jax.Array:
+    """i32[COLS] pieces per column (recomputed, not stored)."""
+    return jnp.sum(state.board != 0, axis=0).astype(jnp.int32)
 
 
 def _has_win(board: jax.Array, player: int) -> jax.Array:
@@ -75,22 +79,20 @@ class ConnectFour:
     heuristic_is_zero = True  # lets the search skip the cutoff-state pass
 
     def init(self) -> ConnectFourState:
-        return ConnectFourState(
-            board=jnp.zeros((ROWS, COLS), jnp.int8),
-            height=jnp.zeros((COLS,), jnp.int32),
-        )
+        return ConnectFourState(board=jnp.zeros((ROWS, COLS), jnp.int8))
 
     def step(self, state: ConnectFourState, action: jax.Array) -> ConnectFourState:
         """Drop a +1 piece in column ``action``; return the flipped board
         (next player's canonical view). Total: a full column clamps to the
-        top row (callers done-mask such states)."""
-        row = jnp.minimum(state.height[action], ROWS - 1)
+        top row (callers done-mask such states). The landing row is the
+        first empty cell, found with a branch-free column reduce."""
+        col = state.board[:, action]
+        row = jnp.minimum(jnp.sum(col != 0), ROWS - 1)
         board = state.board.at[row, action].set(1)
-        height = jnp.minimum(state.height.at[action].add(1), ROWS)
-        return ConnectFourState(board=(-board).astype(jnp.int8), height=height)
+        return ConnectFourState(board=(-board).astype(jnp.int8))
 
     def valid_moves(self, state: ConnectFourState) -> jax.Array:
-        return state.height < ROWS  # column-not-full (connect_four_game.rs:104-109)
+        return state.board[ROWS - 1, :] == 0  # top cell empty
 
     def terminal(self, state: ConnectFourState) -> Tuple[jax.Array, jax.Array]:
         """From the player-to-move's perspective: the previous mover owns the
@@ -98,7 +100,7 @@ class ConnectFour:
         reference's DRAW_EPS encoding, connect_four_game.rs:191-195)."""
         lose = _has_win(state.board, -1)
         win = _has_win(state.board, 1)
-        full = jnp.all(state.height >= ROWS)
+        full = jnp.all(state.board[ROWS - 1, :] != 0)
         done = lose | win | full
         value = jnp.where(win, 1.0, jnp.where(lose, -1.0, 0.0))
         return done, value

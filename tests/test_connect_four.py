@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.games.connect_four import heights
 
 G = ConnectFour()
 
@@ -45,7 +46,7 @@ def test_step_alternation():
     s = play([3, 3])
     assert int(s.board[0, 3]) == 1  # first mover's piece, their view again
     assert int(s.board[1, 3]) == -1
-    assert int(s.height[3]) == 2
+    assert int(heights(s)[3]) == 2
 
 
 def test_vertical_win():
@@ -109,9 +110,7 @@ def test_draw_is_exact_zero():
 
     assert not bool(_has_win(jnp.asarray(board), 1))
     assert not bool(_has_win(jnp.asarray(board), -1))
-    s = ConnectFourState(
-        board=jnp.asarray(board), height=jnp.full((7,), 6, jnp.int32)
-    )
+    s = ConnectFourState(board=jnp.asarray(board))
     done, value = G.terminal(s)
     assert bool(done)
     assert float(value) == 0.0  # draws are exact zero (defect D7 fixed)
@@ -151,7 +150,7 @@ def test_step_total_on_full_column():
     s = play([2, 2, 2, 2, 2, 2])
     s2 = G.step(s, jnp.int32(2))
     assert s2.board.shape == (6, 7)
-    assert int(s2.height[2]) == 6
+    assert int(heights(s2)[2]) == 6
 
 
 def test_vmap_batched_dynamics():
@@ -166,7 +165,7 @@ def test_vmap_batched_dynamics():
     # second move on top of the same column
     s = step_v(s, actions)
     cols = np.asarray(actions)
-    hb = np.asarray(s.height)
+    hb = np.asarray(jax.vmap(lambda st: heights(st))(s))
     assert np.all(hb[np.arange(B), cols] == 2)
 
 

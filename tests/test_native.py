@@ -13,6 +13,7 @@ import pytest
 from alphazero_tpu import native
 from alphazero_tpu.config import MCTSConfig
 from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.games.connect_four import heights
 from alphazero_tpu.mcts import make_search_fn
 from alphazero_tpu.models import make_uniform_model
 
@@ -121,7 +122,7 @@ class TestOracleCrossValidation:
         jax_counts = np.asarray(tree.root_counts())
         for i, s in enumerate(states):
             oracle = native.oracle_search(
-                np.asarray(s.board), np.asarray(s.height), sims, 1.0, 48
+                np.asarray(s.board), np.asarray(heights(s)), sims, 1.0, 48
             )
             np.testing.assert_array_equal(
                 jax_counts[i], oracle,
@@ -140,7 +141,7 @@ class TestOracleCrossValidation:
             root = jax.tree_util.tree_map(lambda x: x[None], s)
             tree = search({}, root)
             oracle = native.oracle_search(
-                np.asarray(s.board), np.asarray(s.height), 50, cpuct, 48
+                np.asarray(s.board), np.asarray(heights(s)), 50, cpuct, 48
             )
             np.testing.assert_array_equal(
                 np.asarray(tree.root_counts())[0], oracle, err_msg=f"cpuct={cpuct}"

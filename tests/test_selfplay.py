@@ -103,7 +103,7 @@ def test_actor_step_recycles():
         key, sub = jax.random.split(key)
         carry, pi = step({}, carry, sub)
         state, move_count = carry
-        heights = np.asarray(state.height).sum(-1)
+        heights = np.abs(np.asarray(state.board)).sum((1, 2))
         mc = np.asarray(move_count)
         # invariant: piece count equals move count (fresh games recycled to 0)
         np.testing.assert_array_equal(heights, mc)
