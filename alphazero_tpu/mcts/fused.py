@@ -1,0 +1,389 @@
+"""VMEM-resident fused PUCT search — the Pallas hot kernel.
+
+The XLA lockstep engine (mcts/search.py) streams the full tree stat
+planes (`[B, 4, A, C]`, ~100 MB at B=8192) through HBM on EVERY
+simulation: each sim is a handful of dense passes, and at 100 sims/move
+the whole move step is HBM-bandwidth-bound. This kernel removes that
+traffic entirely: the trees of a BLOCK of games live in VMEM scratch for
+the duration of ALL simulations, and HBM sees only the root boards in
+and the root visit counts out (a few hundred KB per move instead of tens
+of GB).
+
+Design (per grid program = one block of ``Bb`` games):
+
+* tree planes as VMEM scratch: N/W/P/child ``f32[Bb, A, C]`` plus the
+  per-node (terminal, value) planes ``f32[Bb, C]`` — ~6.5 MB at Bb=256,
+  C=128;
+* game states are NOT stored per node: the descent CARRIES the board
+  (flat ``f32[Bb, L]`` lanes) and re-steps it at each level, so the
+  frontier board IS the expansion state (the XLA engine's per-node state
+  planes and their per-sim select pass disappear);
+* backup is accumulated DURING the descent into two scratch planes
+  (visit increments and root-parity-signed value weights); the leaf
+  value multiplies in afterwards — negamax sign alternation is
+  ``(-1)^depth · (-1)^d`` ≡ the engine's ``(-1)^(depth-d)``;
+* win/termination checks are one small MXU matmul against the game's
+  win-window incidence matrix (games/connect_four.py ``FlatOps``);
+* all writes are dense masked passes over VMEM-resident planes — the
+  same gather/scatter-free discipline as the XLA engine, but at VMEM
+  bandwidth instead of HBM.
+
+Scope: models with a CONSTANT prior/value (``UniformModel`` — the pure-
+MCTS baseline, reference examples/connect_four.rs:12-43, and BASELINE
+config 1) and games exposing ``flat_ops()`` with a zero cutoff
+heuristic. NN-backed search keeps the XLA engine (the NN forward on
+expanded leaves belongs on the MXU over full batches, not inside a
+per-block kernel). Root priors (including optional Dirichlet noise) are
+computed OUTSIDE and shipped in, so the kernel consumes no RNG.
+
+Semantics are bit-compatible with mcts/search.py (same PUCT formula
+node.rs:343-370 incl. EPS, same first-max argmax tie-breaking, same
+slot-cursor allocation, same terminal-child codes); tests/test_fused.py
+asserts exact visit-count equality against the XLA engine, which is
+itself verified bit-exact against the sequential C++ oracle
+(csrc/mcts_oracle.cpp).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from alphazero_tpu.config import MCTSConfig, PUCT_EPS
+from alphazero_tpu.mcts.tree import INVALID_P
+from alphazero_tpu.ops import masked_policy
+
+# VMEM budget for the tree scratch planes (leave room for temporaries,
+# double-buffered IO and the compiler's own working set).
+_SCRATCH_BYTES_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_block(B: int, A: int, C: int) -> int:
+    """Largest power-of-two game block whose scratch fits the budget."""
+    a_pad = max(8, -(-A // 8) * 8)          # sublane padding
+    c_pad = max(128, -(-C // 128) * 128)    # lane padding
+    # N/W/P/child/accN/accW [A,C] planes + node/descent/one-hot [C] planes
+    per_game = (6 * a_pad * c_pad + 11 * c_pad) * 4
+    bb = 256
+    while bb > 8 and bb * per_game > _SCRATCH_BYTES_BUDGET:
+        bb //= 2
+    while bb > 8 and B % bb != 0:
+        bb //= 2
+    return bb
+
+
+def make_fused_root_fn(
+    game,
+    apply_fn,
+    cfg: MCTSConfig,
+    block_size: Optional[int] = None,
+) -> Optional[Callable[[Any, Any, Optional[jax.Array]], jax.Array]]:
+    """Build ``root_counts(params, root_state, rng) -> f32[B, A]`` on the
+    fused kernel, or return None when the configuration needs the general
+    XLA engine (NN priors, games without flat ops, nonzero heuristics).
+    """
+    if os.environ.get("AZ_DISABLE_FUSED"):
+        return None
+    if block_size is None and jax.default_backend() != "tpu":
+        # auto-selection is TPU-only: off-TPU the kernel runs in the slow
+        # Pallas interpreter (callers that want it anyway — e.g. the
+        # equivalence tests — pass an explicit block_size)
+        return None
+    uval = getattr(apply_fn, "uniform_value", None)
+    if uval is None:
+        return None  # NN leaf evaluations -> XLA engine
+    if not getattr(game, "heuristic_is_zero", False):
+        return None
+    flat_ops_factory = getattr(game, "flat_ops", None)
+    if flat_ops_factory is None:
+        return None
+    ops = flat_ops_factory()
+
+    A = game.num_actions
+    C = cfg.nodes
+    D = cfg.max_depth
+    L = ops.size
+    cpuct = float(cfg.cpuct)
+    uval = float(uval)
+    aux = ops.aux()
+    aux_shape = tuple(aux.shape)
+
+    def kernel(
+        board_ref,   # f32[Bb, L]   root boards
+        prior_ref,   # f32[Bb, A]   masked root priors (INVALID_P on illegal)
+        aux_ref,     # f32[L, K]    game constant (win-line matrix)
+        counts_ref,  # f32[Bb, A]   out: root visit counts
+        rootw_ref,   # f32[Bb, A]   out: root edge W sums
+        n_ref, w_ref, p_ref, code_ref,   # f32[Bb, A, C] tree stat planes
+        done_ref, tval_ref,              # f32[Bb, C]    node planes
+        accn_ref, accw_ref,              # f32[Bb, A, C] backup accumulators
+        st_ref,                          # f32[6, Bb, C] descent state planes
+        bd_ref,                          # f32[Bb, L]    descent board
+        ohpa_ref,                        # f32[Bb, A]    expand-action one-hot
+        ohpp_ref, ohleaf_ref,            # f32[Bb, C]    parent/leaf one-hots
+    ):
+        # Mosaic layout-robustness rules used throughout (each violation
+        # was observed as "Not implemented: Lane broadcast" on v5e):
+        # * NO non-scalar carries through lax.while_loop — descent state
+        #   lives in scratch refs as lane-REPLICATED [Bb, C] planes and the
+        #   loop carries one f32 scalar;
+        # * no i1 vectors: flags are 0/1 floats, selects are arithmetic
+        #   blends ``x + flag * (y - x)``;
+        # * [Bb, 1] columns only as keepdims-reduce results immediately
+        #   consumed by a broadcast (the native softmax pattern).
+        Bb = board_ref.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, C), 1)
+        lane_f = lane.astype(jnp.float32)
+        lane0 = lane == 0
+        act_iota_f = jax.lax.broadcasted_iota(jnp.int32, (Bb, A), 1).astype(
+            jnp.float32
+        )
+        root = board_ref[...]
+        aux_m = aux_ref[...]
+
+        # ---- init: root in slot 0 (init_tree analogue); mixed-shape
+        # selects are written as arithmetic blends (mask multiplies) —
+        # Mosaic's select requires operands already in the result layout ----
+        lane0_f = lane0.astype(jnp.float32)
+        zero_plane = jnp.zeros((Bb, A, C), jnp.float32)
+        n_ref[...] = zero_plane
+        w_ref[...] = zero_plane
+        p_ref[...] = lane0_f[:, None, :] * prior_ref[...][:, :, None]
+        code_ref[...] = jnp.full((Bb, A, C), -1.0)
+        rdone, rtval = ops.terminal(root, aux_m)  # [Bb, 1]
+        rdone_f = rdone.astype(jnp.float32)
+        done_ref[...] = lane0_f * rdone_f
+        tval_ref[...] = lane0_f * rtval
+        root_live_f = 1.0 - rdone_f
+
+        def sim_body(i, _):
+            s = i + 1  # lockstep slot cursor (root occupies 0)
+
+            # ---- dense PUCT scores, frozen for this sim ----
+            n = n_ref[...]
+            w = w_ref[...]
+            p = p_ref[...]
+            q = w / jnp.maximum(n, 1.0)
+            n_par = jnp.sum(n, axis=1, keepdims=True)
+            u = cpuct * p * jnp.sqrt(n_par + PUCT_EPS) / (1.0 + n)
+            score = jnp.where(p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u)
+            code_pl = code_ref[...]
+
+            # first-max argmax over A, unrolled (A is tiny); carries the
+            # winning action and its child code as [Bb, C] planes
+            best = score[:, 0, :]
+            best_a = jnp.zeros((Bb, C), jnp.float32)
+            best_code = code_pl[:, 0, :]
+            for a in range(1, A):
+                better = score[:, a, :] > best
+                best = jnp.where(better, score[:, a, :], best)
+                best_a = jnp.where(better, jnp.float32(a), best_a)
+                best_code = jnp.where(better, code_pl[:, a, :], best_code)
+
+            accn_ref[...] = zero_plane
+            accw_ref[...] = zero_plane
+
+            # ---- descent: state in scratch refs (lane-replicated [Bb, C]
+            # planes), while_loop carries ONE f32 scalar; backup edges and
+            # the expand/parent/leaf one-hots accumulate en route ----
+            ones_c = jnp.ones((Bb, C), jnp.float32)
+            st_ref[0] = jnp.zeros((Bb, C), jnp.float32)          # node
+            st_ref[1] = jnp.zeros((Bb, C), jnp.float32)          # depth
+            st_ref[2] = root_live_f * ones_c                     # active
+            st_ref[3] = ones_c                                   # psign=(-1)^depth
+            st_ref[4] = jnp.zeros((Bb, C), jnp.float32)          # exp_mask
+            st_ref[5] = jnp.zeros((Bb, C), jnp.float32)          # term_mask
+            bd_ref[...] = root
+            ohpa_ref[...] = jnp.zeros((Bb, A), jnp.float32)
+            ohpp_ref[...] = jnp.zeros((Bb, C), jnp.float32)
+            ohleaf_ref[...] = jnp.zeros((Bb, C), jnp.float32)
+
+            def dcond(t):
+                return t > 0.5
+
+            def dbody(t):
+                node = st_ref[0]
+                depth = st_ref[1]
+                act = st_ref[2]
+                psign = st_ref[3]
+                act_col = jnp.max(act, axis=1, keepdims=True)    # [Bb, 1]
+                psign_col = jnp.max(psign, axis=1, keepdims=True)
+
+                oh = (lane_f == node).astype(jnp.float32)        # [Bb, C]
+                a_col = jnp.sum(best_a * oh, axis=1, keepdims=True)
+                code = jnp.sum(best_code * oh, axis=1, keepdims=True) * ones_c
+
+                # record this edge for the backup: +1 visit, (-1)^depth
+                # value weight (final sign multiplies (-1)^depth_total in)
+                oh_a = (act_iota_f == a_col).astype(jnp.float32)  # [Bb, A]
+                accn_ref[...] = (
+                    accn_ref[...]
+                    + (act_col * oh_a)[:, :, None] * oh[:, None, :]
+                )
+                accw_ref[...] = (
+                    accw_ref[...]
+                    + (psign_col * act_col * oh_a)[:, :, None] * oh[:, None, :]
+                )
+
+                board = bd_ref[...]
+                stepped = ops.step(board, a_col)
+                bd_ref[...] = board + act_col * (stepped - board)
+
+                depth1 = depth + 1.0
+                cterm = (code < -1.5).astype(jnp.float32)
+                unexp = (code < -0.5).astype(jnp.float32) * (1.0 - cterm)
+                child = code + cterm * (-2.0 - 2.0 * code)  # -2-code if cterm
+                live = (1.0 - unexp) * (1.0 - cterm)
+                cutoff = live * (depth1 >= D).astype(jnp.float32)
+                go = act * live * (1.0 - cutoff)
+                exp_now = act * unexp
+                exp_now_col = jnp.max(exp_now, axis=1, keepdims=True)
+                stop_leaf = act * jnp.maximum(cterm, cutoff)
+                oh_child = (lane_f == child).astype(jnp.float32)
+
+                st_ref[0] = node + go * (child - node)
+                st_ref[1] = depth + act
+                st_ref[2] = go
+                st_ref[3] = psign * (1.0 - 2.0 * act)
+                st_ref[4] = jnp.maximum(st_ref[4], exp_now)
+                st_ref[5] = jnp.maximum(st_ref[5], act * cterm)
+                ohpa_ref[...] = (
+                    ohpa_ref[...] + exp_now_col * (oh_a - ohpa_ref[...])
+                )
+                ohpp_ref[...] = ohpp_ref[...] + exp_now * (oh - ohpp_ref[...])
+                ohleaf_ref[...] = (
+                    ohleaf_ref[...] + stop_leaf * (oh_child - ohleaf_ref[...])
+                )
+                return jnp.max(go)
+
+            jax.lax.while_loop(dcond, dbody, jnp.max(st_ref[2]))
+
+            exp_mask = jnp.max(st_ref[4], axis=1, keepdims=True)  # f32 0/1
+            term_mask = jnp.max(st_ref[5], axis=1, keepdims=True)
+            psign = jnp.max(st_ref[3], axis=1, keepdims=True)
+
+            # ---- expand at slot s (frontier board == child state) ----
+            s_ok = (s < C).astype(jnp.float32)             # scalar
+            exp_ok = exp_mask * s_ok                       # f32 0/1 [Bb,1]
+            child_board = bd_ref[...]
+            vm = ops.valid(child_board)                    # bool[Bb, A]
+            cdone_b, ctval = ops.terminal(child_board, aux_m)
+            cdone = cdone_b.astype(jnp.float32)            # f32 0/1 [Bb,1]
+            nval = jnp.sum(vm, axis=1, keepdims=True)
+            prior_u = vm.astype(jnp.float32) / jnp.maximum(nval, 1)
+            pm = jnp.where(vm, prior_u, INVALID_P)
+
+            # ---- leaf value (constant-model evaluate) ----
+            v_term = jnp.sum(
+                tval_ref[...] * ohleaf_ref[...], axis=1, keepdims=True
+            )
+            v_expand = ctval + (1.0 - cdone) * (uval - ctval)
+            v_leaf = exp_mask * v_expand + (1.0 - exp_mask) * term_mask * v_term
+            # psign flipped once per traversed edge: it IS (-1)^depth
+            mval = v_leaf * psign                          # [Bb, 1]
+
+            # ---- merge: install new rows + child link + backup, one pass
+            # per plane over VMEM-resident stats (arithmetic blends) ----
+            nm_f = exp_ok * (lane == s).astype(jnp.float32)   # [Bb, C]
+            wm_f = nm_f[:, None, :]                           # [Bb, 1, C]
+            keep = 1.0 - wm_f
+            n_ref[...] = n_ref[...] * keep + accn_ref[...]
+            w_ref[...] = (
+                w_ref[...] * keep + mval[:, :, None] * accw_ref[...]
+            )
+            p_ref[...] = p_ref[...] * keep + wm_f * pm[:, :, None]
+
+            s_f = (i + 1).astype(jnp.float32)
+            link_code = s_f + cdone * (-2.0 - 2.0 * s_f)   # -2-s if cdone
+            link_add = (
+                ((link_code + 1.0) * exp_ok * ohpa_ref[...])
+            )[:, :, None] * ohpp_ref[...][:, None, :]
+            code_ref[...] = code_ref[...] * keep - wm_f + link_add
+
+            done_ref[...] = done_ref[...] * (1.0 - nm_f) + nm_f * cdone
+            tval_ref[...] = tval_ref[...] * (1.0 - nm_f) + nm_f * ctval
+            return 0
+
+        jax.lax.fori_loop(0, cfg.num_sims, sim_body, 0)
+
+        counts_ref[...] = jnp.sum(
+            n_ref[...] * lane0.astype(jnp.float32)[:, None, :], axis=2
+        )
+        rootw_ref[...] = jnp.sum(
+            w_ref[...] * lane0.astype(jnp.float32)[:, None, :], axis=2
+        )
+
+    def run_kernel(boards: jax.Array, priors: jax.Array):
+        B = boards.shape[0]
+        Bb = block_size or _pick_block(B, A, C)
+        if B % Bb != 0:
+            Bb = max(b for b in range(1, min(Bb, B) + 1) if B % b == 0)
+        grid = (B // Bb,)
+        interpret = jax.default_backend() == "cpu"
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((Bb, L), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bb, A), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(aux_shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((Bb, A), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Bb, A), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, A), jnp.float32),
+                jax.ShapeDtypeStruct((B, A), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Bb, A, C), jnp.float32),  # N
+                pltpu.VMEM((Bb, A, C), jnp.float32),  # W
+                pltpu.VMEM((Bb, A, C), jnp.float32),  # P
+                pltpu.VMEM((Bb, A, C), jnp.float32),  # child code
+                pltpu.VMEM((Bb, C), jnp.float32),     # done
+                pltpu.VMEM((Bb, C), jnp.float32),     # tval
+                pltpu.VMEM((Bb, A, C), jnp.float32),  # acc N
+                pltpu.VMEM((Bb, A, C), jnp.float32),  # acc W
+                pltpu.VMEM((6, Bb, C), jnp.float32),  # descent state planes
+                pltpu.VMEM((Bb, L), jnp.float32),     # descent board
+                pltpu.VMEM((Bb, A), jnp.float32),     # expand-action one-hot
+                pltpu.VMEM((Bb, C), jnp.float32),     # expand-parent one-hot
+                pltpu.VMEM((Bb, C), jnp.float32),     # leaf one-hot
+            ],
+            interpret=interpret,
+        )(boards, priors, aux)
+
+    feat_dummy = getattr(apply_fn, "needs_features", True)
+
+    def root_counts(params, root_state, rng: Optional[jax.Array] = None) -> jax.Array:
+        """Fused-search root visit counts; root-prior path (masked softmax
+        of the model's constant logits + optional Dirichlet) mirrors
+        mcts/search.py's ``search`` exactly."""
+        boards = ops.from_state(root_state)
+        B = boards.shape[0]
+        root_valid = jax.vmap(game.valid_moves)(root_state)
+        if feat_dummy:
+            feats = jax.vmap(game.to_features)(root_state)
+        else:
+            feats = jnp.zeros((B, 1), jnp.float32)
+        logits, _ = apply_fn(params, feats)
+        prior = masked_policy(logits, root_valid)
+        if cfg.dirichlet_alpha is not None:
+            if rng is None:
+                raise ValueError("dirichlet noise requires an rng key")
+            noise = jax.random.dirichlet(
+                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
+            )
+            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
+            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+        p_masked = jnp.where(root_valid, prior, INVALID_P)
+        counts, _ = run_kernel(boards, p_masked)
+        return counts
+
+    return root_counts

@@ -47,6 +47,9 @@ class UniformModel:
 
         # the search skips feature materialization for feature-free models
         apply_fn.needs_features = False
+        # constant prior/value: eligible for the VMEM-resident fused search
+        # kernel (mcts/fused.py)
+        apply_fn.uniform_value = value
         self.apply_fn = apply_fn
 
     def init(self, rng: jax.Array, sample: jax.Array) -> Any:

@@ -37,8 +37,26 @@ import jax
 import jax.numpy as jnp
 
 from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
+from alphazero_tpu.mcts.fused import make_fused_root_fn
 from alphazero_tpu.mcts.search import make_search_fn
 from alphazero_tpu.ops import action_probs
+
+
+def _make_root_counts_fn(game, apply_fn, mcts_cfg: MCTSConfig):
+    """``(params, state, rng) -> root visit counts [B, A]``.
+
+    Prefers the VMEM-resident fused Pallas kernel (mcts/fused.py —
+    constant-prior models on games with flat ops); falls back to the
+    general XLA engine. The two are bit-identical (tests/test_fused.py)."""
+    fused = make_fused_root_fn(game, apply_fn, mcts_cfg)
+    if fused is not None:
+        return fused
+    search = make_search_fn(game, apply_fn, mcts_cfg)
+
+    def root_counts(params, state, rng=None):
+        return search(params, state, rng=rng).root_counts()
+
+    return root_counts
 
 
 class Trajectory(NamedTuple):
@@ -70,7 +88,7 @@ def make_selfplay_fn(
     The returned function plays ``sp_cfg.batch_size`` games from the initial
     position to termination (or ``max_moves``) under one jit.
     """
-    search = make_search_fn(game, apply_fn, mcts_cfg)
+    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg)
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     feat_v = jax.vmap(game.to_features)
@@ -84,9 +102,9 @@ def make_selfplay_fn(
             state, done, outcome, moves, rng = carry
             rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
 
-            tree = search(params, state, rng=k_noise)
+            counts = root_counts(params, state, k_noise)
             temp = jnp.where(t < sp_cfg.temp_threshold, 1.0, 0.0)
-            pi = action_probs(tree.root_counts(), temp, k_tie)
+            pi = action_probs(counts, temp, k_tie)
             feats = feat_v(state)
 
             action = jax.random.categorical(k_act, jnp.log(pi + 1e-12), axis=-1)
@@ -152,7 +170,7 @@ def make_actor_step_fn(
     per-game episode accounting — callers that need exact value targets use
     ``make_selfplay_fn``; the bench only needs throughput).
     """
-    search = make_search_fn(game, apply_fn, mcts_cfg)
+    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg)
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     B = batch_size
@@ -172,9 +190,9 @@ def make_actor_step_fn(
     def actor_step(params, carry, rng):
         state, move_count = carry
         k_noise, k_tie, k_act = jax.random.split(rng, 3)
-        tree = search(params, state, rng=k_noise)
+        counts = root_counts(params, state, k_noise)
         temp = jnp.where(move_count < temp_threshold, 1.0, 0.0)
-        pi = action_probs(tree.root_counts(), temp, k_tie)
+        pi = action_probs(counts, temp, k_tie)
         action = jax.random.categorical(k_act, jnp.log(pi + 1e-12), axis=-1)
         state = step_v(state, action)
         done, _ = term_v(state)
