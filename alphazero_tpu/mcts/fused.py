@@ -67,8 +67,8 @@ def _pick_block(B: int, A: int, C: int) -> int:
     """Largest power-of-two game block whose scratch fits the budget."""
     a_pad = max(8, -(-A // 8) * 8)          # sublane padding
     c_pad = max(128, -(-C // 128) * 128)    # lane padding
-    # N/W/P/child/accN/accW [A,C] planes + node/descent/one-hot [C] planes
-    per_game = (6 * a_pad * c_pad + 11 * c_pad) * 4
+    # N/W/P/child [A,C] planes + node/descent/one-hot [C] planes
+    per_game = (4 * a_pad * c_pad + 13 * c_pad) * 4
     bb = 256
     while bb > 8 and bb * per_game > _SCRATCH_BYTES_BUDGET:
         bb //= 2
@@ -121,8 +121,7 @@ def make_fused_root_fn(
         rootw_ref,   # f32[Bb, A]   out: root edge W sums
         n_ref, w_ref, p_ref, code_ref,   # f32[Bb, A, C] tree stat planes
         done_ref, tval_ref,              # f32[Bb, C]    node planes
-        accn_ref, accw_ref,              # f32[Bb, A, C] backup accumulators
-        st_ref,                          # f32[6, Bb, C] descent state planes
+        st_ref,                          # f32[8, Bb, C] descent state planes
         bd_ref,                          # f32[Bb, L]    descent board
         ohpa_ref,                        # f32[Bb, A]    expand-action one-hot
         ohpp_ref, ohleaf_ref,            # f32[Bb, C]    parent/leaf one-hots
@@ -164,33 +163,45 @@ def make_fused_root_fn(
         def sim_body(i, _):
             s = i + 1  # lockstep slot cursor (root occupies 0)
 
-            # ---- dense PUCT scores, frozen for this sim ----
+            # ---- dense PUCT scores + first-max argmax over A, fused and
+            # unrolled per action (A is tiny) — the [Bb, A, C] score plane
+            # is never materialized; frozen for this sim ----
             n = n_ref[...]
             w = w_ref[...]
             p = p_ref[...]
-            q = w / jnp.maximum(n, 1.0)
-            n_par = jnp.sum(n, axis=1, keepdims=True)
-            u = cpuct * p * jnp.sqrt(n_par + PUCT_EPS) / (1.0 + n)
-            score = jnp.where(p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u)
             code_pl = code_ref[...]
+            sqrt_npar = jnp.sqrt(
+                jnp.sum(n, axis=1, keepdims=True) + PUCT_EPS
+            )[:, 0, :]  # [Bb, C]
 
-            # first-max argmax over A, unrolled (A is tiny); carries the
-            # winning action and its child code as [Bb, C] planes
-            best = score[:, 0, :]
+            def edge_score(a):
+                na = n[:, a, :]
+                pa = p[:, a, :]
+                qa = w[:, a, :] / jnp.maximum(na, 1.0)
+                ua = cpuct * pa * sqrt_npar / (1.0 + na)
+                return jnp.where(
+                    pa <= INVALID_P * 0.5, jnp.float32(-1e30), qa + ua
+                )
+
+            best = edge_score(0)
             best_a = jnp.zeros((Bb, C), jnp.float32)
             best_code = code_pl[:, 0, :]
             for a in range(1, A):
-                better = score[:, a, :] > best
-                best = jnp.where(better, score[:, a, :], best)
+                sa = edge_score(a)
+                better = sa > best
+                best = jnp.where(better, sa, best)
                 best_a = jnp.where(better, jnp.float32(a), best_a)
                 best_code = jnp.where(better, code_pl[:, a, :], best_code)
 
-            accn_ref[...] = zero_plane
-            accw_ref[...] = zero_plane
-
             # ---- descent: state in scratch refs (lane-replicated [Bb, C]
-            # planes), while_loop carries ONE f32 scalar; backup edges and
-            # the expand/parent/leaf one-hots accumulate en route ----
+            # planes), while_loop carries ONE f32 scalar. The path is
+            # recorded COMPRESSED into two [Bb, C] planes — at lane=node,
+            # (action+1) and the root-parity sign — exploiting that a
+            # descent visits each node at most once (pure tree, no
+            # transpositions). Per level that is two [Bb, C] adds instead
+            # of two full [Bb, A, C] plane passes (8x less VMEM traffic);
+            # the [Bb, A, C] edge one-hots are reconstructed ONCE by the
+            # merge pass below. ----
             ones_c = jnp.ones((Bb, C), jnp.float32)
             st_ref[0] = jnp.zeros((Bb, C), jnp.float32)          # node
             st_ref[1] = jnp.zeros((Bb, C), jnp.float32)          # depth
@@ -198,6 +209,8 @@ def make_fused_root_fn(
             st_ref[3] = ones_c                                   # psign=(-1)^depth
             st_ref[4] = jnp.zeros((Bb, C), jnp.float32)          # exp_mask
             st_ref[5] = jnp.zeros((Bb, C), jnp.float32)          # term_mask
+            st_ref[6] = jnp.zeros((Bb, C), jnp.float32)          # path action+1
+            st_ref[7] = jnp.zeros((Bb, C), jnp.float32)          # path parity
             bd_ref[...] = root
             ohpa_ref[...] = jnp.zeros((Bb, A), jnp.float32)
             ohpp_ref[...] = jnp.zeros((Bb, C), jnp.float32)
@@ -221,14 +234,9 @@ def make_fused_root_fn(
                 # record this edge for the backup: +1 visit, (-1)^depth
                 # value weight (final sign multiplies (-1)^depth_total in)
                 oh_a = (act_iota_f == a_col).astype(jnp.float32)  # [Bb, A]
-                accn_ref[...] = (
-                    accn_ref[...]
-                    + (act_col * oh_a)[:, :, None] * oh[:, None, :]
-                )
-                accw_ref[...] = (
-                    accw_ref[...]
-                    + (psign_col * act_col * oh_a)[:, :, None] * oh[:, None, :]
-                )
+                # compressed path record at lane=node (see init note)
+                st_ref[6] = st_ref[6] + (act_col * (a_col + 1.0)) * oh
+                st_ref[7] = st_ref[7] + (act_col * psign_col) * oh
 
                 board = bd_ref[...]
                 stepped = ops.step(board, a_col)
@@ -292,9 +300,14 @@ def make_fused_root_fn(
             nm_f = exp_ok * (lane == s).astype(jnp.float32)   # [Bb, C]
             wm_f = nm_f[:, None, :]                           # [Bb, 1, C]
             keep = 1.0 - wm_f
-            n_ref[...] = n_ref[...] * keep + accn_ref[...]
+            # reconstruct the path edge one-hots from the compressed record
+            on_a = (
+                act_iota_f[:, :, None] + 1.0 == st_ref[6][:, None, :]
+            ).astype(jnp.float32)                           # [Bb, A, C]
+            n_ref[...] = n_ref[...] * keep + on_a
             w_ref[...] = (
-                w_ref[...] * keep + mval[:, :, None] * accw_ref[...]
+                w_ref[...] * keep
+                + mval[:, :, None] * (st_ref[7][:, None, :] * on_a)
             )
             p_ref[...] = p_ref[...] * keep + wm_f * pm[:, :, None]
 
@@ -348,9 +361,7 @@ def make_fused_root_fn(
                 pltpu.VMEM((Bb, A, C), jnp.float32),  # child code
                 pltpu.VMEM((Bb, C), jnp.float32),     # done
                 pltpu.VMEM((Bb, C), jnp.float32),     # tval
-                pltpu.VMEM((Bb, A, C), jnp.float32),  # acc N
-                pltpu.VMEM((Bb, A, C), jnp.float32),  # acc W
-                pltpu.VMEM((6, Bb, C), jnp.float32),  # descent state planes
+                pltpu.VMEM((8, Bb, C), jnp.float32),  # descent state planes
                 pltpu.VMEM((Bb, L), jnp.float32),     # descent board
                 pltpu.VMEM((Bb, A), jnp.float32),     # expand-action one-hot
                 pltpu.VMEM((Bb, C), jnp.float32),     # expand-parent one-hot
