@@ -28,20 +28,26 @@ Design (per grid program = one block of ``Bb`` games):
   same gather/scatter-free discipline as the XLA engine, but at VMEM
   bandwidth instead of HBM.
 
-Scope: models with a CONSTANT prior/value (``UniformModel`` — the pure-
-MCTS baseline, reference examples/connect_four.rs:12-43, and BASELINE
-config 1) and games exposing ``flat_ops()`` with a zero cutoff
-heuristic. NN-backed search keeps the XLA engine (the NN forward on
-expanded leaves belongs on the MXU over full batches, not inside a
-per-block kernel). Root priors (including optional Dirichlet noise) are
-computed OUTSIDE and shipped in, so the kernel consumes no RNG.
+Scope: games exposing ``flat_ops()`` with a zero cutoff heuristic, and
+models that can evaluate INSIDE the kernel — either a CONSTANT
+prior/value (``UniformModel`` — the pure-MCTS baseline, reference
+examples/connect_four.rs:12-43, BASELINE config 1) or a model
+registering a ``kernel_eval_factory`` (``MLPNet`` — its weights live in
+VMEM next to the trees and the forward pass runs on the MXU between
+expand and backup; BASELINE config 2). Large conv nets keep the XLA
+engine. Root priors (including optional Dirichlet noise) are computed
+OUTSIDE and shipped in, so the kernel consumes no RNG.
 
 Semantics are bit-compatible with mcts/search.py (same PUCT formula
 node.rs:343-370 incl. EPS, same first-max argmax tie-breaking, same
 slot-cursor allocation, same terminal-child codes); tests/test_fused.py
-asserts exact visit-count equality against the XLA engine, which is
-itself verified bit-exact against the sequential C++ oracle
-(csrc/mcts_oracle.cpp).
+asserts exact visit-count equality against the XLA engine for the
+constant-prior path (the XLA engine is itself verified bit-exact
+against the sequential C++ oracle, csrc/mcts_oracle.cpp). The
+NN-in-kernel path is numerically equivalent: Mosaic and XLA may round
+bf16 matmuls at different points, so rare PUCT argmax ties can resolve
+differently — the tests bound the count divergence statistically and
+freeze fused-path goldens for determinism.
 """
 
 from __future__ import annotations
@@ -68,7 +74,7 @@ def _pick_block(B: int, A: int, C: int) -> int:
     a_pad = max(8, -(-A // 8) * 8)          # sublane padding
     c_pad = max(128, -(-C // 128) * 128)    # lane padding
     # N/W/P/child [A,C] planes + node/descent/one-hot [C] planes
-    per_game = (4 * a_pad * c_pad + 13 * c_pad) * 4
+    per_game = (4 * a_pad * c_pad + 15 * c_pad) * 4
     bb = 256
     while bb > 8 and bb * per_game > _SCRATCH_BYTES_BUDGET:
         bb //= 2
@@ -95,21 +101,26 @@ def make_fused_root_fn(
         # equivalence tests — pass an explicit block_size)
         return None
     uval = getattr(apply_fn, "uniform_value", None)
-    if uval is None:
-        return None  # NN leaf evaluations -> XLA engine
+    eval_factory = getattr(apply_fn, "kernel_eval_factory", None)
+    if uval is None and eval_factory is None:
+        return None  # model has no in-kernel evaluator -> XLA engine
     if not getattr(game, "heuristic_is_zero", False):
         return None
     flat_ops_factory = getattr(game, "flat_ops", None)
     if flat_ops_factory is None:
         return None
     ops = flat_ops_factory()
+    if eval_factory is not None:
+        extract_weights, kernel_eval = eval_factory(ops)
+    else:
+        extract_weights, kernel_eval = None, None
 
     A = game.num_actions
     C = cfg.nodes
     D = cfg.max_depth
     L = ops.size
     cpuct = float(cfg.cpuct)
-    uval = float(uval)
+    uval = float(uval) if uval is not None else 0.0
     aux = ops.aux()
     aux_shape = tuple(aux.shape)
 
@@ -117,15 +128,32 @@ def make_fused_root_fn(
         board_ref,   # f32[Bb, L]   root boards
         prior_ref,   # f32[Bb, A]   masked root priors (INVALID_P on illegal)
         aux_ref,     # f32[L, K]    game constant (win-line matrix)
-        counts_ref,  # f32[Bb, A]   out: root visit counts
-        rootw_ref,   # f32[Bb, A]   out: root edge W sums
-        n_ref, w_ref, p_ref, code_ref,   # f32[Bb, A, C] tree stat planes
-        done_ref, tval_ref,              # f32[Bb, C]    node planes
-        st_ref,                          # f32[8, Bb, C] descent state planes
-        bd_ref,                          # f32[Bb, L]    descent board
-        ohpa_ref,                        # f32[Bb, A]    expand-action one-hot
-        ohpp_ref, ohleaf_ref,            # f32[Bb, C]    parent/leaf one-hots
+        *rest_refs,
+        # rest_refs = [*weight_refs (kernel_eval consts, VMEM-resident),
+        #              counts_ref, rootw_ref (outputs),
+        #              n/w/p/code (f32[Bb,A,C] tree stat planes),
+        #              done/tval (f32[Bb,C] node planes),
+        #              st (f32[10,Bb,C] descent state planes),
+        #              bd (f32[Bb,L] descent board),
+        #              ohpa (f32[Bb,A]), ohpp, ohleaf (f32[Bb,C])]
     ):
+        n_weights = kernel.n_weights
+        weight_refs = rest_refs[:n_weights]
+        (
+            counts_ref,
+            rootw_ref,
+            n_ref,
+            w_ref,
+            p_ref,
+            code_ref,
+            done_ref,
+            tval_ref,
+            st_ref,
+            bd_ref,
+            ohpa_ref,
+            ohpp_ref,
+            ohleaf_ref,
+        ) = rest_refs[n_weights:]
         # Mosaic layout-robustness rules used throughout (each violation
         # was observed as "Not implemented: Lane broadcast" on v5e):
         # * NO non-scalar carries through lax.while_loop — descent state
@@ -160,12 +188,13 @@ def make_fused_root_fn(
         tval_ref[...] = lane0_f * rtval
         root_live_f = 1.0 - rdone_f
 
-        def sim_body(i, _):
-            s = i + 1  # lockstep slot cursor (root occupies 0)
-
-            # ---- dense PUCT scores + first-max argmax over A, fused and
-            # unrolled per action (A is tiny) — the [Bb, A, C] score plane
-            # is never materialized; frozen for this sim ----
+        def refresh_best():
+            """Dense PUCT scores + first-max argmax over A, fused and
+            unrolled per action (A is tiny) — the [Bb, A, C] score plane is
+            never materialized. Writes the winning action / child-code
+            planes into st_ref[8]/st_ref[9]. Called right after each merge
+            so the stat-plane reads sit next to the merge's writes (one
+            plane traversal per sim instead of two)."""
             n = n_ref[...]
             w = w_ref[...]
             p = p_ref[...]
@@ -192,6 +221,15 @@ def make_fused_root_fn(
                 best = jnp.where(better, sa, best)
                 best_a = jnp.where(better, jnp.float32(a), best_a)
                 best_code = jnp.where(better, code_pl[:, a, :], best_code)
+            st_ref[8] = best_a
+            st_ref[9] = best_code
+
+        refresh_best()
+
+        def sim_body(i, _):
+            s = i + 1  # lockstep slot cursor (root occupies 0)
+            best_a = st_ref[8]
+            best_code = st_ref[9]
 
             # ---- descent: state in scratch refs (lane-replicated [Bb, C]
             # planes), while_loop carries ONE f32 scalar. The path is
@@ -282,15 +320,26 @@ def make_fused_root_fn(
             vm = ops.valid(child_board)                    # bool[Bb, A]
             cdone_b, ctval = ops.terminal(child_board, aux_m)
             cdone = cdone_b.astype(jnp.float32)            # f32 0/1 [Bb,1]
-            nval = jnp.sum(vm, axis=1, keepdims=True)
-            prior_u = vm.astype(jnp.float32) / jnp.maximum(nval, 1)
-            pm = jnp.where(vm, prior_u, INVALID_P)
 
-            # ---- leaf value (constant-model evaluate) ----
+            # ---- evaluate: constant prior/value OR the in-kernel NN
+            # (MXU matmuls on VMEM-resident weights — replaces the XLA
+            # engine's full-batch forward AND its HBM tree streaming) ----
+            if kernel_eval is None:
+                nval = jnp.sum(vm, axis=1, keepdims=True)
+                prior = vm.astype(jnp.float32) / jnp.maximum(nval, 1)
+                v_nn = uval
+            else:
+                logits, v_nn = kernel_eval(
+                    child_board, vm, *[r[...] for r in weight_refs]
+                )
+                prior = masked_policy(logits, vm)
+            pm = jnp.where(vm, prior, INVALID_P)
+
+            # ---- leaf value ----
             v_term = jnp.sum(
                 tval_ref[...] * ohleaf_ref[...], axis=1, keepdims=True
             )
-            v_expand = ctval + (1.0 - cdone) * (uval - ctval)
+            v_expand = ctval + (1.0 - cdone) * (v_nn - ctval)
             v_leaf = exp_mask * v_expand + (1.0 - exp_mask) * term_mask * v_term
             # psign flipped once per traversed edge: it IS (-1)^depth
             mval = v_leaf * psign                          # [Bb, 1]
@@ -320,6 +369,7 @@ def make_fused_root_fn(
 
             done_ref[...] = done_ref[...] * (1.0 - nm_f) + nm_f * cdone
             tval_ref[...] = tval_ref[...] * (1.0 - nm_f) + nm_f * ctval
+            refresh_best()
             return 0
 
         jax.lax.fori_loop(0, cfg.num_sims, sim_body, 0)
@@ -331,13 +381,23 @@ def make_fused_root_fn(
             w_ref[...] * lane0.astype(jnp.float32)[:, None, :], axis=2
         )
 
-    def run_kernel(boards: jax.Array, priors: jax.Array):
+    def run_kernel(boards: jax.Array, priors: jax.Array, weights=()):
         B = boards.shape[0]
         Bb = block_size or _pick_block(B, A, C)
         if B % Bb != 0:
             Bb = max(b for b in range(1, min(Bb, B) + 1) if B % b == 0)
         grid = (B // Bb,)
         interpret = jax.default_backend() == "cpu"
+        kernel.n_weights = len(weights)
+
+        def bcast_spec(arr):
+            nd = arr.ndim
+            return pl.BlockSpec(
+                tuple(arr.shape),
+                lambda g, _nd=nd: (0,) * _nd,
+                memory_space=pltpu.VMEM,
+            )
+
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -345,6 +405,7 @@ def make_fused_root_fn(
                 pl.BlockSpec((Bb, L), lambda g: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Bb, A), lambda g: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(aux_shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+                *[bcast_spec(w) for w in weights],
             ],
             out_specs=[
                 pl.BlockSpec((Bb, A), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -361,14 +422,14 @@ def make_fused_root_fn(
                 pltpu.VMEM((Bb, A, C), jnp.float32),  # child code
                 pltpu.VMEM((Bb, C), jnp.float32),     # done
                 pltpu.VMEM((Bb, C), jnp.float32),     # tval
-                pltpu.VMEM((8, Bb, C), jnp.float32),  # descent state planes
+                pltpu.VMEM((10, Bb, C), jnp.float32),  # descent state planes
                 pltpu.VMEM((Bb, L), jnp.float32),     # descent board
                 pltpu.VMEM((Bb, A), jnp.float32),     # expand-action one-hot
                 pltpu.VMEM((Bb, C), jnp.float32),     # expand-parent one-hot
                 pltpu.VMEM((Bb, C), jnp.float32),     # leaf one-hot
             ],
             interpret=interpret,
-        )(boards, priors, aux)
+        )(boards, priors, aux, *weights)
 
     feat_dummy = getattr(apply_fn, "needs_features", True)
 
@@ -394,7 +455,8 @@ def make_fused_root_fn(
             noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
             prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
         p_masked = jnp.where(root_valid, prior, INVALID_P)
-        counts, _ = run_kernel(boards, p_masked)
+        weights = () if extract_weights is None else tuple(extract_weights(params))
+        counts, _ = run_kernel(boards, p_masked, weights)
         return counts
 
     return root_counts

@@ -80,6 +80,84 @@ class MLPNet(nn.Module):
         return logits, jnp.tanh(v)[:, 0]
 
 
+def attach_mlp_kernel_eval(model: MLPNet, apply_fn) -> None:
+    """Register an IN-KERNEL evaluator so the fused VMEM-resident search
+    (mcts/fused.py) can run this MLP on the MXU inside the Pallas kernel —
+    the whole net (~0.5 MB of weights) lives in VMEM next to the trees, so
+    NN-backed search keeps the fused kernel's throughput instead of
+    falling back to the HBM-streaming XLA engine.
+
+    The evaluator replays ``MLPNet.__call__`` exactly (bf16 hidden
+    matmuls, f32 heads, tanh value). Features are derived from the flat
+    board; the first layer's kernel rows are permuted host-side from the
+    interleaved NHWC-flat order to the kernel's [+plane | -plane] concat
+    order, which leaves each dot product's value set unchanged.
+    """
+    n_hidden = len(tuple(model.hidden))
+    num_actions = int(model.num_actions)
+
+    def factory(ops):
+        L = ops.size
+        # x_cat[:, j] = x_nhwc[:, 2j] for j < L (the +1 plane), else
+        # x_nhwc[:, 2(j-L)+1] (the -1 plane)
+        perm = jnp.asarray(
+            [2 * j for j in range(L)] + [2 * j + 1 for j in range(L)],
+            jnp.int32,
+        )
+
+        def extract(variables):
+            p = variables["params"]
+            arrs = []
+            w0 = jnp.take(p["Dense_0"]["kernel"], perm, axis=0)
+            arrs.append(w0)
+            arrs.append(p["Dense_0"]["bias"][None, :])
+            for i in range(1, n_hidden):
+                arrs.append(p[f"Dense_{i}"]["kernel"])
+                arrs.append(p[f"Dense_{i}"]["bias"][None, :])
+            # fused policy|value head (column-independent, so identical
+            # results to two separate f32 matmuls)
+            wh = jnp.concatenate(
+                [p["policy"]["kernel"], p["value"]["kernel"]], axis=1
+            )
+            bh = jnp.concatenate(
+                [p["policy"]["bias"], p["value"]["bias"]], axis=0
+            )[None, :]
+            arrs.append(wh)
+            arrs.append(bh)
+            return arrs
+
+        def eval_fn(board, vm, *arrs):
+            del vm
+            dt = model.dtype
+            x = jnp.concatenate(
+                [
+                    (board == 1).astype(jnp.float32),
+                    (board == -1).astype(jnp.float32),
+                ],
+                axis=1,
+            ).astype(dt)
+            for i in range(n_hidden):
+                w, b = arrs[2 * i], arrs[2 * i + 1]
+                # Mosaic requires 32-bit matmul accumulation; XLA's bf16
+                # dot is f32-accumulate + round, so this matches exactly
+                h32 = jnp.dot(
+                    x, w.astype(dt), preferred_element_type=jnp.float32
+                )
+                x = jnp.maximum(h32.astype(dt) + b.astype(dt), 0)
+            h = x.astype(jnp.float32)
+            out = (
+                jnp.dot(h, arrs[-2], preferred_element_type=jnp.float32)
+                + arrs[-1]
+            )
+            logits = out[:, :num_actions]
+            value = jnp.tanh(out[:, num_actions : num_actions + 1])
+            return logits, value
+
+        return extract, eval_fn
+
+    apply_fn.kernel_eval_factory = factory
+
+
 class _ResBlock(nn.Module):
     channels: int
     dtype: Any
@@ -170,6 +248,10 @@ def make_flax_apply_fn(model: nn.Module) -> Callable:
     def apply_fn(variables, feats):
         return model.apply(variables, feats, train=False)
 
+    if isinstance(model, MLPNet):
+        # MLPs additionally get an in-kernel evaluator so the fused
+        # VMEM-resident search can run them on the MXU inside the kernel
+        attach_mlp_kernel_eval(model, apply_fn)
     return apply_fn
 
 

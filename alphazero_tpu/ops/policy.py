@@ -10,7 +10,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = jnp.float32(-1e30)
+# python float (not a jnp scalar): masked_policy is also traced inside
+# the fused Pallas kernel, where captured array constants are disallowed
+_NEG_INF = -1e30
 
 
 def masked_policy(logits: jax.Array, valid: jax.Array) -> jax.Array:
