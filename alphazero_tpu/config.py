@@ -40,6 +40,17 @@ class MCTSConfig:
     dirichlet_alpha: Optional[float] = None  # root noise; the reference has
     #                              none — optional extension, default off.
     dirichlet_frac: float = 0.25
+    parallel_sims: int = 1       # K leaf-parallel descents per search round
+    #                              — the lockstep analogue of the reference's
+    #                              num_sim_threads + virtual loss
+    #                              (async_mcts.rs:191-217, node.rs:77-92).
+    #                              K=1 is exact sequential MCTS (the golden
+    #                              config); K>1 amortizes the per-simulation
+    #                              score/merge passes over K expansions for
+    #                              ~2x+ throughput at a small search-quality
+    #                              cost (contended nodes rotate between their
+    #                              top-2 PUCT actions within a round).
+    #                              num_sims must be divisible by K.
 
     @property
     def nodes(self) -> int:

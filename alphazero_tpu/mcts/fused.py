@@ -69,12 +69,13 @@ from alphazero_tpu.ops import masked_policy
 _SCRATCH_BYTES_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_block(B: int, A: int, C: int) -> int:
+def _pick_block(B: int, A: int, C: int, K: int = 1) -> int:
     """Largest power-of-two game block whose scratch fits the budget."""
     a_pad = max(8, -(-A // 8) * 8)          # sublane padding
     c_pad = max(128, -(-C // 128) * 128)    # lane padding
-    # N/W/P/child [A,C] planes + node/descent/one-hot [C] planes
-    per_game = (4 * a_pad * c_pad + 15 * c_pad) * 4
+    # N/W/P/child [A,C] planes + node/descent/one-hot [C] planes; K>1
+    # keeps ~3 extra [C] planes per in-flight descent live at the merge
+    per_game = (4 * a_pad * c_pad + (19 + 3 * K) * c_pad) * 4
     bb = 256
     while bb > 8 and bb * per_game > _SCRATCH_BYTES_BUDGET:
         bb //= 2
@@ -119,6 +120,20 @@ def make_fused_root_fn(
     C = cfg.nodes
     D = cfg.max_depth
     L = ops.size
+    K = int(getattr(cfg, "parallel_sims", 1) or 1)
+    if K > 1:
+        if cfg.num_sims % K != 0:
+            raise ValueError(
+                f"num_sims={cfg.num_sims} must be divisible by "
+                f"parallel_sims={K}"
+            )
+        if (K + 1) ** A >= 1 << 24:
+            # per-round virtual-loss counts are packed base-(K+1) into one
+            # f32 lane per node; they must stay exactly representable
+            raise ValueError(
+                f"parallel_sims={K} too large for {A} actions "
+                f"(needs (K+1)^A < 2^24)"
+            )
     cpuct = float(cfg.cpuct)
     uval = float(uval) if uval is not None else 0.0
     aux = ops.aux()
@@ -133,7 +148,7 @@ def make_fused_root_fn(
         #              counts_ref, rootw_ref (outputs),
         #              n/w/p/code (f32[Bb,A,C] tree stat planes),
         #              done/tval (f32[Bb,C] node planes),
-        #              st (f32[10,Bb,C] descent state planes),
+        #              st (f32[14,Bb,C] descent state planes),
         #              bd (f32[Bb,L] descent board),
         #              ohpa (f32[Bb,A]), ohpp, ohleaf (f32[Bb,C])]
     ):
@@ -215,14 +230,38 @@ def make_fused_root_fn(
             best = edge_score(0)
             best_a = jnp.zeros((Bb, C), jnp.float32)
             best_code = code_pl[:, 0, :]
+            if K == 1:
+                for a in range(1, A):
+                    sa = edge_score(a)
+                    better = sa > best
+                    best = jnp.where(better, sa, best)
+                    best_a = jnp.where(better, jnp.float32(a), best_a)
+                    best_code = jnp.where(better, code_pl[:, a, :], best_code)
+                st_ref[8] = best_a
+                st_ref[9] = best_code
+                return
+            # K > 1: track the runner-up too (contended nodes rotate
+            # between their top-2 PUCT actions within a round)
+            second = jnp.full((Bb, C), -1e30)
+            sec_a = jnp.full((Bb, C), -1.0)
+            sec_code = jnp.full((Bb, C), -1.0)
             for a in range(1, A):
                 sa = edge_score(a)
-                better = sa > best
-                best = jnp.where(better, sa, best)
-                best_a = jnp.where(better, jnp.float32(a), best_a)
-                best_code = jnp.where(better, code_pl[:, a, :], best_code)
+                ca = code_pl[:, a, :]
+                b1 = sa > best
+                b2 = (~b1) & (sa > second)
+                second = jnp.where(b1, best, jnp.where(b2, sa, second))
+                sec_a = jnp.where(b1, best_a, jnp.where(b2, jnp.float32(a), sec_a))
+                sec_code = jnp.where(b1, best_code, jnp.where(b2, ca, sec_code))
+                best = jnp.where(b1, sa, best)
+                best_a = jnp.where(b1, jnp.float32(a), best_a)
+                best_code = jnp.where(b1, ca, best_code)
+            # a runner-up only counts if it is a legal edge
+            sec_a = jnp.where(second > -1e29, sec_a, -1.0)
             st_ref[8] = best_a
             st_ref[9] = best_code
+            st_ref[10] = sec_a
+            st_ref[11] = sec_code
 
         refresh_best()
 
@@ -372,7 +411,223 @@ def make_fused_root_fn(
             refresh_best()
             return 0
 
-        jax.lax.fori_loop(0, cfg.num_sims, sim_body, 0)
+        def round_body(r, _):
+            """K leaf-parallel descents sharing ONE stat-plane merge and
+            ONE score refresh — the lockstep virtual-loss analogue of the
+            reference's num_sim_threads searchers (async_mcts.rs:191-217):
+            per-round in-flight visit counts are packed base-(K+1) into
+            one f32 lane per node (st_ref[12]); a descent whose top PUCT
+            action has more in-flight visits than the runner-up takes the
+            runner-up instead (the virtual-loss deterrent, node.rs:77-92).
+            Duplicate expansions of the same placeholder are detected
+            exactly (any prior in-round visit of an unexpanded edge IS a
+            prior claim) and install nothing — their backup still counts,
+            matching visit semantics. Slots base+1+k are burned in
+            lockstep like the K=1 path."""
+            best_a = st_ref[8]
+            best_code = st_ref[9]
+            sec_a = st_ref[10]
+            sec_code = st_ref[11]
+            ones_c = jnp.ones((Bb, C), jnp.float32)
+            zero_c = jnp.zeros((Bb, C), jnp.float32)
+            # powers of (K+1) per action lane, built exactly
+            pow_row = jnp.ones((Bb, A), jnp.float32)
+            for j in range(1, A):
+                pow_row = jnp.where(act_iota_f >= j, pow_row * (K + 1), pow_row)
+            st_ref[12] = zero_c  # packed per-round virtual-loss counts
+
+            per_k = []
+            for k in range(K):
+                st_ref[0] = zero_c                      # node
+                st_ref[1] = zero_c                      # depth
+                st_ref[2] = root_live_f * ones_c        # active
+                st_ref[3] = ones_c                      # psign
+                st_ref[4] = zero_c                      # exp_mask
+                st_ref[5] = zero_c                      # term_mask
+                st_ref[6] = zero_c                      # path action+1
+                st_ref[7] = zero_c                      # path parity
+                st_ref[13] = zero_c                     # duplicate-claim flag
+                bd_ref[...] = root
+                ohpa_ref[...] = jnp.zeros((Bb, A), jnp.float32)
+                ohpp_ref[...] = zero_c
+                ohleaf_ref[...] = zero_c
+
+                def dcond(t):
+                    return t > 0.5
+
+                def dbody(t):
+                    node = st_ref[0]
+                    depth = st_ref[1]
+                    act = st_ref[2]
+                    psign = st_ref[3]
+                    act_col = jnp.max(act, axis=1, keepdims=True)
+                    psign_col = jnp.max(psign, axis=1, keepdims=True)
+
+                    oh = (lane_f == node).astype(jnp.float32)
+                    a1 = jnp.sum(best_a * oh, axis=1, keepdims=True)
+                    c1 = jnp.sum(best_code * oh, axis=1, keepdims=True)
+                    a2 = jnp.sum(sec_a * oh, axis=1, keepdims=True)
+                    c2 = jnp.sum(sec_code * oh, axis=1, keepdims=True)
+
+                    # in-flight counts at this node: unpack base-(K+1)
+                    vp = jnp.sum(st_ref[12] * oh, axis=1, keepdims=True)
+                    dig = jnp.floor(vp / pow_row)
+                    dig = dig - (K + 1) * jnp.floor(dig / (K + 1))  # [Bb, A]
+                    oh_a1 = (act_iota_f == a1).astype(jnp.float32)
+                    oh_a2 = (act_iota_f == a2).astype(jnp.float32)
+                    v1 = jnp.sum(dig * oh_a1, axis=1, keepdims=True)
+                    v2 = jnp.sum(dig * oh_a2, axis=1, keepdims=True)
+                    has2 = (a2 > -0.5).astype(jnp.float32)
+                    use2 = has2 * (v2 < v1).astype(jnp.float32)
+
+                    a_col = a1 + use2 * (a2 - a1)
+                    code = (c1 + use2 * (c2 - c1)) * ones_c
+                    oh_a = oh_a1 + use2 * (oh_a2 - oh_a1)
+                    v_cho = v1 + use2 * (v2 - v1)
+
+                    # record the edge (path compression as in sim_body)
+                    st_ref[6] = st_ref[6] + (act_col * (a_col + 1.0)) * oh
+                    st_ref[7] = st_ref[7] + (act_col * psign_col) * oh
+                    # bump the packed in-flight count
+                    vp_add = jnp.sum(oh_a * pow_row, axis=1, keepdims=True)
+                    st_ref[12] = st_ref[12] + (act_col * vp_add) * oh
+
+                    board = bd_ref[...]
+                    stepped = ops.step(board, a_col)
+                    bd_ref[...] = board + act_col * (stepped - board)
+
+                    depth1 = depth + 1.0
+                    cterm = (code < -1.5).astype(jnp.float32)
+                    unexp = (code < -0.5).astype(jnp.float32) * (1.0 - cterm)
+                    child = code + cterm * (-2.0 - 2.0 * code)
+                    live = (1.0 - unexp) * (1.0 - cterm)
+                    cutoff = live * (depth1 >= D).astype(jnp.float32)
+                    go = act * live * (1.0 - cutoff)
+                    exp_now = act * unexp
+                    exp_now_col = jnp.max(exp_now, axis=1, keepdims=True)
+                    stop_leaf = act * jnp.maximum(cterm, cutoff)
+                    oh_child = (lane_f == child).astype(jnp.float32)
+
+                    # an unexpanded edge already visited this round was
+                    # claimed by an earlier descent: duplicate expansion
+                    dup_now = exp_now * (v_cho > 0.5).astype(jnp.float32)
+
+                    st_ref[0] = node + go * (child - node)
+                    st_ref[1] = depth + act
+                    st_ref[2] = go
+                    st_ref[3] = psign * (1.0 - 2.0 * act)
+                    st_ref[4] = jnp.maximum(st_ref[4], exp_now)
+                    st_ref[5] = jnp.maximum(st_ref[5], act * cterm)
+                    st_ref[13] = jnp.maximum(st_ref[13], dup_now)
+                    ohpa_ref[...] = (
+                        ohpa_ref[...] + exp_now_col * (oh_a - ohpa_ref[...])
+                    )
+                    ohpp_ref[...] = (
+                        ohpp_ref[...] + exp_now * (oh - ohpp_ref[...])
+                    )
+                    ohleaf_ref[...] = (
+                        ohleaf_ref[...] + stop_leaf * (oh_child - ohleaf_ref[...])
+                    )
+                    return jnp.max(go)
+
+                jax.lax.while_loop(dcond, dbody, jnp.max(st_ref[2]))
+
+                exp_mask = jnp.max(st_ref[4], axis=1, keepdims=True)
+                term_mask = jnp.max(st_ref[5], axis=1, keepdims=True)
+                dup = jnp.max(st_ref[13], axis=1, keepdims=True)
+                psign = jnp.max(st_ref[3], axis=1, keepdims=True)
+
+                child_board = bd_ref[...]
+                vm = ops.valid(child_board)
+                cdone_b, ctval = ops.terminal(child_board, aux_m)
+                cdone = cdone_b.astype(jnp.float32)
+                if kernel_eval is None:
+                    nval = jnp.sum(vm, axis=1, keepdims=True)
+                    prior = vm.astype(jnp.float32) / jnp.maximum(nval, 1)
+                    v_nn = uval
+                else:
+                    logits, v_nn = kernel_eval(
+                        child_board, vm, *[rr[...] for rr in weight_refs]
+                    )
+                    prior = masked_policy(logits, vm)
+                pm = jnp.where(vm, prior, INVALID_P)
+
+                v_term = jnp.sum(
+                    tval_ref[...] * ohleaf_ref[...], axis=1, keepdims=True
+                )
+                v_expand = ctval + (1.0 - cdone) * (v_nn - ctval)
+                v_leaf = (
+                    exp_mask * v_expand
+                    + (1.0 - exp_mask) * term_mask * v_term
+                )
+                per_k.append(
+                    dict(
+                        patha=st_ref[6][...],
+                        psgn=st_ref[7][...],
+                        ohpa=ohpa_ref[...],
+                        ohpp=ohpp_ref[...],
+                        pm=pm,
+                        cdone=cdone,
+                        mval=v_leaf * psign,
+                        ctval=ctval,
+                        # install only for non-duplicate expansions
+                        inst=exp_mask * (1.0 - dup),
+                    )
+                )
+
+            # ---- shared merge: one RMW pass per stat plane for all K
+            # descents ----
+            s0 = r * K + 1
+            keep = jnp.ones((Bb, 1, C), jnp.float32)
+            n_add = jnp.zeros((Bb, A, C), jnp.float32)
+            w_add = jnp.zeros((Bb, A, C), jnp.float32)
+            p_inst = jnp.zeros((Bb, A, C), jnp.float32)
+            code_delta = jnp.zeros((Bb, A, C), jnp.float32)
+            dn_new = zero_c
+            dt_new = zero_c
+            nm_all = zero_c
+            for k in range(K):
+                d = per_k[k]
+                s = s0 + k
+                s_ok = (s < C).astype(jnp.float32)
+                inst = d["inst"] * s_ok                      # [Bb, 1]
+                nm_k = inst * (lane == s).astype(jnp.float32)  # [Bb, C]
+                wm_k = nm_k[:, None, :]
+                keep = keep * (1.0 - wm_k)
+                on_a = (
+                    act_iota_f[:, :, None] + 1.0 == d["patha"][:, None, :]
+                ).astype(jnp.float32)
+                n_add = n_add + on_a
+                w_add = w_add + d["mval"][:, :, None] * (
+                    d["psgn"][:, None, :] * on_a
+                )
+                p_inst = p_inst + wm_k * d["pm"][:, :, None]
+                s_f = (s0 + k).astype(jnp.float32)
+                link_code = s_f + d["cdone"] * (-2.0 - 2.0 * s_f)
+                code_delta = (
+                    code_delta
+                    - wm_k
+                    + (
+                        (link_code + 1.0) * inst * d["ohpa"]
+                    )[:, :, None] * d["ohpp"][:, None, :]
+                )
+                dn_new = dn_new + nm_k * d["cdone"]
+                dt_new = dt_new + nm_k * d["ctval"]
+                nm_all = nm_all + nm_k
+
+            n_ref[...] = n_ref[...] * keep + n_add
+            w_ref[...] = w_ref[...] * keep + w_add
+            p_ref[...] = p_ref[...] * keep + p_inst
+            code_ref[...] = code_ref[...] * keep + code_delta
+            done_ref[...] = done_ref[...] * (1.0 - nm_all) + dn_new
+            tval_ref[...] = tval_ref[...] * (1.0 - nm_all) + dt_new
+            refresh_best()
+            return 0
+
+        if K == 1:
+            jax.lax.fori_loop(0, cfg.num_sims, sim_body, 0)
+        else:
+            jax.lax.fori_loop(0, cfg.num_sims // K, round_body, 0)
 
         counts_ref[...] = jnp.sum(
             n_ref[...] * lane0.astype(jnp.float32)[:, None, :], axis=2
@@ -383,7 +638,7 @@ def make_fused_root_fn(
 
     def run_kernel(boards: jax.Array, priors: jax.Array, weights=()):
         B = boards.shape[0]
-        Bb = block_size or _pick_block(B, A, C)
+        Bb = block_size or _pick_block(B, A, C, K)
         if B % Bb != 0:
             Bb = max(b for b in range(1, min(Bb, B) + 1) if B % b == 0)
         grid = (B // Bb,)
@@ -422,7 +677,7 @@ def make_fused_root_fn(
                 pltpu.VMEM((Bb, A, C), jnp.float32),  # child code
                 pltpu.VMEM((Bb, C), jnp.float32),     # done
                 pltpu.VMEM((Bb, C), jnp.float32),     # tval
-                pltpu.VMEM((10, Bb, C), jnp.float32),  # descent state planes
+                pltpu.VMEM((14, Bb, C), jnp.float32),  # descent state planes
                 pltpu.VMEM((Bb, L), jnp.float32),     # descent board
                 pltpu.VMEM((Bb, A), jnp.float32),     # expand-action one-hot
                 pltpu.VMEM((Bb, C), jnp.float32),     # expand-parent one-hot

@@ -127,6 +127,34 @@ def test_fused_mlp_close_to_xla_engine():
     assert np.abs(p_x - p_f).max() <= 0.25
 
 
+def test_parallel_sims_sanity():
+    """K leaf-parallel descents: sims conserved, deterministic, and the
+    root spread stays sane (opt-in knob; K=1 remains the exact config)."""
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=24, max_depth=48, parallel_sims=4)
+    fused = make_fused_root_fn(game, net.apply_fn, cfg, block_size=4)
+    assert fused is not None
+    state = _random_positions(game, 8, 4, seed=5)
+    c = np.array(fused({}, state))
+    done = np.array(jax.vmap(game.terminal)(state)[0])
+    assert (c.sum(axis=1)[~done] == cfg.num_sims).all()
+    assert (c.sum(axis=1)[done] == 0).all()
+    np.testing.assert_array_equal(c, np.array(fused({}, state)))
+
+
+def test_parallel_sims_validation():
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    with pytest.raises(ValueError):
+        make_fused_root_fn(
+            game,
+            net.apply_fn,
+            MCTSConfig(num_sims=25, parallel_sims=4),
+            block_size=4,
+        )
+
+
 def test_fused_mlp_deterministic():
     """Fused NN path is bit-deterministic under a fixed seed."""
     game, variables, apply_fn = _mlp_setup()
