@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from alphazero_tpu.config import ArenaConfig, MCTSConfig
+from alphazero_tpu.mcts.fused import make_fused_root_fn
 from alphazero_tpu.mcts.search import make_search_fn
 from alphazero_tpu.ops import action_probs
 
@@ -72,7 +73,26 @@ def make_arena_fn(
         sel = cand_to_move[:, None]
         return jnp.where(sel, lc, li), jnp.where(cand_to_move, vc, vi)
 
-    search = make_search_fn(game, combined_apply, mcts_cfg)
+    # fused path: when BOTH models can evaluate inside the Pallas kernel,
+    # search each side's trees with its own fused call and row-select the
+    # counts by whose turn it is — identical semantics to the combined
+    # forward (the searching player uses their net for every leaf of their
+    # search), at fused-kernel speed.
+    fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg)
+    fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg)
+
+    if fused_cand is not None and fused_inc is not None:
+        def root_counts(params, state):
+            p_cand, p_inc, cand_to_move = params
+            cc = fused_cand(p_cand, state)
+            ci = fused_inc(p_inc, state)
+            return jnp.where(cand_to_move[:, None], cc, ci)
+    else:
+        search = make_search_fn(game, combined_apply, mcts_cfg)
+
+        def root_counts(params, state):
+            return search(params, state).root_counts()
+
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
 
@@ -84,10 +104,10 @@ def make_arena_fn(
         def move(carry, t):
             state, done, cand_to_move, winner_cand, is_draw, rng = carry
             rng, k_tie = jax.random.split(rng)
-            tree = search((params_cand, params_inc, cand_to_move), state)
+            counts = root_counts((params_cand, params_inc, cand_to_move), state)
             # greedy argmax play with random tie-break (temp = 0,
             # coach.rs:356-371's |x| argmax closures)
-            pi = action_probs(tree.root_counts(), 0.0, k_tie)
+            pi = action_probs(counts, 0.0, k_tie)
             action = jnp.argmax(pi, axis=-1)
             nxt = step_v(state, action)
             state = jax.tree_util.tree_map(

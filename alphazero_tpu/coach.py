@@ -76,8 +76,12 @@ class Coach:
         self._train_phase = jax.jit(
             make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
         )
+        # arena evaluation is noise-free greedy play: strip root Dirichlet
+        # (with it, the search would demand an rng the arena never supplies)
         arena_cfg = dataclasses.replace(
-            cfg.mcts, num_sims=cfg.arena.num_sims or cfg.mcts.num_sims
+            cfg.mcts,
+            num_sims=cfg.arena.num_sims or cfg.mcts.num_sims,
+            dirichlet_alpha=None,
         )
         self._arena = jax.jit(
             make_arena_fn(game, apply_fn, apply_fn, arena_cfg, cfg.arena.num_games)
