@@ -212,6 +212,16 @@ class FlatOps:
         """bool[Bb, 7]: top cell of each column empty."""
         return board[:, (ROWS - 1) * COLS :] == 0
 
+    def to_features(self, board: jax.Array) -> jax.Array:
+        """f32[B, 42] flat boards -> NHWC [B, 6, 7, 2] NN features; same
+        values as ``ConnectFour.to_features`` (used by the hybrid search,
+        mcts/hybrid.py, to evaluate leaf boards carried by the descent)."""
+        b = board.reshape(board.shape[0], ROWS, COLS)
+        return jnp.stack(
+            [(b == 1).astype(jnp.float32), (b == -1).astype(jnp.float32)],
+            axis=-1,
+        )
+
     def terminal(self, board: jax.Array, aux: jax.Array):
         """(done bool[Bb, 1], value f32[Bb, 1]) — ``ConnectFour.terminal``
         semantics via one win-line matmul per sign."""

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
 from alphazero_tpu.mcts.fused import make_fused_root_fn
+from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
 from alphazero_tpu.mcts.search import make_search_fn
 from alphazero_tpu.ops import action_probs
 
@@ -45,12 +46,17 @@ from alphazero_tpu.ops import action_probs
 def _make_root_counts_fn(game, apply_fn, mcts_cfg: MCTSConfig):
     """``(params, state, rng) -> root visit counts [B, A]``.
 
-    Prefers the VMEM-resident fused Pallas kernel (mcts/fused.py —
-    constant-prior models on games with flat ops); falls back to the
-    general XLA engine. The two are bit-identical (tests/test_fused.py)."""
+    Engine ladder, fastest-first: the VMEM-resident fused Pallas kernel
+    (mcts/fused.py — constant-prior or in-kernel-MLP models on games with
+    flat ops), then the hybrid descend/merge-kernel engine (mcts/hybrid.py
+    — ANY model on flat-ops games), then the general XLA engine. All are
+    bit-identical (tests/test_fused.py, tests/test_hybrid.py)."""
     fused = make_fused_root_fn(game, apply_fn, mcts_cfg)
     if fused is not None:
         return fused
+    hybrid = make_hybrid_root_fn(game, apply_fn, mcts_cfg)
+    if hybrid is not None:
+        return hybrid
     search = make_search_fn(game, apply_fn, mcts_cfg)
 
     def root_counts(params, state, rng=None):

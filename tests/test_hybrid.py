@@ -1,0 +1,92 @@
+"""Hybrid descend/merge-kernel search (mcts/hybrid.py) — bit-exact
+equivalence against the XLA lockstep engine for ARBITRARY models (the
+hybrid evaluates the same ``apply_fn`` in XLA, so even conv nets must
+match exactly, unlike the fused kernel's in-VMEM MLP re-evaluation).
+
+Runs the Pallas interpreter on the CPU test backend (explicit block_size
+opts in off-TPU); on TPU the hybrid is the conv-model self-play hot path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu.config import MCTSConfig
+from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
+from alphazero_tpu.mcts.search import make_search_fn
+from alphazero_tpu.models import (
+    AZResNet,
+    MLPNet,
+    init_flax_model,
+    make_flax_apply_fn,
+    make_uniform_model,
+)
+from tests.test_fused import _random_positions
+
+
+def _check_match(game, apply_fn, params, cfg, B=8, moves=6, seed=0, rng=None):
+    search = make_search_fn(game, apply_fn, cfg)
+    hybrid = make_hybrid_root_fn(game, apply_fn, cfg, block_size=4)
+    assert hybrid is not None
+    state = _random_positions(game, B, moves, seed=seed)
+    c_xla = np.array(search(params, state, rng=rng).root_counts())
+    c_hyb = np.array(hybrid(params, state, rng))
+    np.testing.assert_array_equal(c_xla, c_hyb)
+
+
+@pytest.mark.parametrize("moves", [0, 6, 14])
+def test_hybrid_uniform_matches_xla_engine(moves):
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=20, max_depth=48)
+    _check_match(game, net.apply_fn, {}, cfg, moves=moves, seed=moves)
+
+
+def test_hybrid_mlp_matches_xla_engine():
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32, 32))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(0), game.feature_shape)
+    cfg = MCTSConfig(num_sims=24, max_depth=48)
+    _check_match(game, apply_fn, params, cfg, moves=4, seed=1)
+
+
+def test_hybrid_resnet_matches_xla_engine():
+    """The conv flagship (BASELINE config 3) — the model class the hybrid
+    engine exists for."""
+    game = ConnectFour()
+    model = AZResNet(num_actions=game.num_actions, channels=8, blocks=1)
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(2), game.feature_shape)
+    cfg = MCTSConfig(num_sims=16, max_depth=48)
+    _check_match(game, apply_fn, params, cfg, moves=2, seed=2)
+
+
+def test_hybrid_capacity_limited_matches():
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=20, max_depth=48, max_nodes=8)
+    _check_match(game, net.apply_fn, {}, cfg, moves=4, seed=3)
+
+
+def test_hybrid_dirichlet_matches():
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(16,))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(4), game.feature_shape)
+    cfg = MCTSConfig(
+        num_sims=16, max_depth=48, dirichlet_alpha=0.7, dirichlet_frac=0.25
+    )
+    _check_match(
+        game, apply_fn, params, cfg, moves=2, seed=5, rng=jax.random.key(11)
+    )
+
+
+def test_hybrid_gating():
+    """Hybrid declines configs it can't serve (K>1 rounds)."""
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=20, max_depth=48, parallel_sims=4)
+    assert make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4) is None
