@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from alphazero_tpu.config import ArenaConfig, MCTSConfig
 from alphazero_tpu.mcts.fused import make_fused_root_fn
+from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
 from alphazero_tpu.mcts.search import make_search_fn
 from alphazero_tpu.ops import action_probs
 
@@ -56,6 +57,7 @@ def make_arena_fn(
     mcts_cfg: MCTSConfig,
     num_games: int,
     max_moves: Optional[int] = None,
+    block_size: Optional[int] = None,
 ):
     """Build ``play(params_cand, params_inc, rng) -> ArenaResult``.
 
@@ -78,8 +80,9 @@ def make_arena_fn(
     # counts by whose turn it is — identical semantics to the combined
     # forward (the searching player uses their net for every leaf of their
     # search), at fused-kernel speed.
-    fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg)
-    fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg)
+    fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size)
+    fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size)
+    hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size)
 
     if fused_cand is not None and fused_inc is not None:
         def root_counts(params, state):
@@ -87,6 +90,12 @@ def make_arena_fn(
             cc = fused_cand(p_cand, state)
             ci = fused_inc(p_inc, state)
             return jnp.where(cand_to_move[:, None], cc, ci)
+    elif hybrid is not None:
+        # conv/mixed models: the hybrid engine searches with the combined
+        # two-model forward (per-game row select) in XLA between its
+        # descend/merge kernels — same semantics as the XLA engine branch.
+        def root_counts(params, state):
+            return hybrid(params, state)
     else:
         search = make_search_fn(game, combined_apply, mcts_cfg)
 

@@ -90,3 +90,25 @@ def test_hybrid_gating():
     net = make_uniform_model(game)
     cfg = MCTSConfig(num_sims=20, max_depth=48, parallel_sims=4)
     assert make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4) is None
+
+
+def test_arena_hybrid_matches_xla_engine():
+    """The arena's hybrid branch (combined two-model forward between the
+    kernels) produces the same result as its XLA-engine branch."""
+    from alphazero_tpu.arena import make_arena_fn
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(16,))
+    apply_fn = make_flax_apply_fn(model)
+    p_cand = init_flax_model(model, jax.random.key(1), game.feature_shape)
+    p_inc = init_flax_model(model, jax.random.key(2), game.feature_shape)
+    cfg = MCTSConfig(num_sims=6, max_depth=48)
+
+    play_xla = make_arena_fn(game, apply_fn, apply_fn, cfg, num_games=4, max_moves=8)
+    play_hyb = make_arena_fn(
+        game, apply_fn, apply_fn, cfg, num_games=4, max_moves=8, block_size=4
+    )
+    key = jax.random.key(9)
+    r_xla = play_xla(p_cand, p_inc, key)
+    r_hyb = play_hyb(p_cand, p_inc, key)
+    assert tuple(map(int, r_xla)) == tuple(map(int, r_hyb))
