@@ -1,4 +1,5 @@
 from alphazero_tpu.games.base import Game
 from alphazero_tpu.games.connect_four import ConnectFour
+from alphazero_tpu.games.othello import Othello
 
-__all__ = ["Game", "ConnectFour"]
+__all__ = ["Game", "ConnectFour", "Othello"]

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Train AlphaZero on Othello 8x8 — the second-game example (BASELINE
+config 4).
+
+Exercises the generic game protocol end-to-end (the role the reference's
+``Game`` trait plays, src/game.rs:8-28) on a game with a large action
+space (65), pass moves, dihedral symmetry augmentation (8x) and a nonzero
+depth-cutoff heuristic. The search runs on the general XLA engine
+(mcts/search.py); everything else — coach, replay, learner, arena, Elo,
+checkpoints — is the same machinery as Connect-Four.
+
+Usage:
+  python examples/train_othello.py                  # smoke run
+  python examples/train_othello.py --preset full    # conv resnet run
+  python examples/train_othello.py --cpu            # force CPU
+"""
+
+import argparse
+import logging
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["smoke", "mlp", "full"], default="smoke")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import (
+        ArenaConfig,
+        AZConfig,
+        MCTSConfig,
+        ReplayConfig,
+        SelfPlayConfig,
+        TrainConfig,
+    )
+    from alphazero_tpu.games import Othello
+    from alphazero_tpu.models import AZResNet, MLPNet
+
+    game = Othello()
+
+    if args.preset == "smoke":
+        model = MLPNet(num_actions=game.num_actions, hidden=(64,))
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=12, max_depth=24),
+            selfplay=SelfPlayConfig(batch_size=8, temp_threshold=12, max_moves=70),
+            replay=ReplayConfig(capacity=1 << 14),
+            train=TrainConfig(batch_size=64, steps_per_iteration=16),
+            arena=ArenaConfig(num_games=8, update_threshold=0.55, num_sims=8),
+            num_iterations=2,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    elif args.preset == "mlp":
+        model = MLPNet(num_actions=game.num_actions, hidden=(512, 512))
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=50, max_depth=64, dirichlet_alpha=0.3),
+            selfplay=SelfPlayConfig(batch_size=256, temp_threshold=12),
+            replay=ReplayConfig(capacity=1 << 17),
+            train=TrainConfig(batch_size=512, steps_per_iteration=128),
+            arena=ArenaConfig(num_games=64, update_threshold=0.55, num_sims=25),
+            num_iterations=12,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    else:
+        model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=100, max_depth=80, dirichlet_alpha=0.3),
+            selfplay=SelfPlayConfig(batch_size=1024, temp_threshold=12),
+            replay=ReplayConfig(capacity=1 << 19),
+            train=TrainConfig(batch_size=1024, steps_per_iteration=256),
+            arena=ArenaConfig(num_games=128, update_threshold=0.55, num_sims=50),
+            num_iterations=30,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+
+    coach = Coach(game, model, cfg)
+    n = args.iterations if args.iterations is not None else cfg.num_iterations
+    records = coach.learn(n)
+    last = records[-1]
+    print(
+        f"done: iterations={last['iteration']} model_id={last['model_id']} "
+        f"elo={coach.elo.ratings.get(coach.model_id, 0.0):.1f} "
+        f"replay={last['replay_size']}"
+    )
+
+
+if __name__ == "__main__":
+    main()
