@@ -239,7 +239,8 @@ class Coach:
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }
         self.metrics.log(record)
-        self.save()
+        if self.iteration % max(self.cfg.checkpoint_interval, 1) == 0:
+            self.save()
         return record
 
     def learn(self, num_iterations: Optional[int] = None):
@@ -248,4 +249,6 @@ class Coach:
         records = []
         for _ in range(n):
             records.append(self.run_iteration())
+        if n and self.iteration % max(self.cfg.checkpoint_interval, 1) != 0:
+            self.save()  # the run's final state is always durable
         return records

@@ -117,3 +117,8 @@ class AZConfig:
     #                              examples/connect_four.rs:66)
     seed: int = 0
     checkpoint_dir: Optional[str] = None
+    checkpoint_interval: int = 1  # save the whole-state checkpoint every k
+    #                              iterations (the replay buffer dominates
+    #                              checkpoint bytes; large runs set k>1).
+    #                              learn() always saves after its last
+    #                              iteration regardless.

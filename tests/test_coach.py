@@ -95,3 +95,24 @@ def test_elo_tracker_semantics():
     assert elo_from_match(100.0, 0, 0, 10) == pytest.approx(100.0)
     # empty match is inert
     assert elo_from_match(50.0, 0, 0, 0) == 50.0
+
+
+def test_checkpoint_interval(tmp_path):
+    """checkpoint_interval=k saves every k-th iteration; learn() always
+    persists its final state (resume sees the last iteration)."""
+    import dataclasses
+
+    from alphazero_tpu.checkpoint import latest_step
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = dataclasses.replace(tiny_cfg(tmp_path, seed=4), checkpoint_interval=2)
+    coach = Coach(game, model, cfg)
+    coach.run_iteration()
+    assert latest_step(str(tmp_path)) is None  # iteration 1 skipped
+    coach.run_iteration()
+    assert latest_step(str(tmp_path)) == 2
+    coach.learn(1)  # iteration 3: off-interval, but learn() saves at the end
+    assert latest_step(str(tmp_path)) == 3
+    resumed = Coach(game, model, cfg)
+    assert resumed.iteration == 3
