@@ -58,6 +58,7 @@ def make_arena_fn(
     num_games: int,
     max_moves: Optional[int] = None,
     block_size: Optional[int] = None,
+    state_sharding=None,
 ):
     """Build ``play(params_cand, params_inc, rng) -> ArenaResult``.
 
@@ -109,6 +110,16 @@ def make_arena_fn(
         # seating: first half candidate moves first (arena.rs:74-79 swap)
         cand_first = jnp.arange(B) < (B + 1) // 2
         state = jax.vmap(lambda _: game.init())(jnp.arange(B))
+        if state_sharding is not None:
+            # pin the game batch to the mesh data axis; GSPMD propagates
+            # the sharding through the whole move loop
+            state = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, state_sharding),
+                state,
+            )
+            cand_first = jax.lax.with_sharding_constraint(
+                cand_first, state_sharding
+            )
 
         def move(carry, t):
             state, done, cand_to_move, winner_cand, is_draw, rng = carry

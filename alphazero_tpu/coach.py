@@ -61,21 +61,33 @@ def make_train_phase(model, tcfg, steps: int):
 
 
 class Coach:
-    """Host-side driver over jitted phases (the L4 orchestration layer)."""
+    """Host-side driver over jitted phases (the L4 orchestration layer).
 
-    def __init__(self, game, model, cfg: AZConfig):
+    ``mesh`` turns every phase into a sharded SPMD program (BASELINE
+    config 5): self-play games, replay slots and learner minibatches live
+    on the ``data`` axis (gradient means become XLA-inserted psum riding
+    ICI), parameters are tensor-parallel on the ``model`` axis where
+    divisible (see parallel/param_shardings) and replicated otherwise.
+    Multi-host is the same code under ``jax.distributed.initialize``."""
+
+    def __init__(self, game, model, cfg: AZConfig, mesh=None):
         self.game = game
         self.model = model
         self.cfg = cfg
+        self.mesh = mesh
 
         apply_fn = make_flax_apply_fn(model)
-        self._selfplay = jax.jit(
-            make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay)
+
+        # live state (created first: the mesh shardings below need shapes)
+        self.rng = jax.random.key(cfg.seed)
+        self.incumbent = init_train_state(
+            model, jax.random.key(cfg.seed + 1), game.feature_shape, cfg.train
         )
-        self._insert = jax.jit(lambda r, t: replay_insert(r, game, t))
-        self._train_phase = jax.jit(
-            make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
-        )
+        self.replay = replay_init(game, cfg.replay)
+
+        sp_fn = make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay)
+        insert_fn = lambda r, t: replay_insert(r, game, t)
+        train_fn = make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
         # arena evaluation is noise-free greedy play: strip root Dirichlet
         # (with it, the search would demand an rng the arena never supplies)
         arena_cfg = dataclasses.replace(
@@ -83,16 +95,67 @@ class Coach:
             num_sims=cfg.arena.num_sims or cfg.mcts.num_sims,
             dirichlet_alpha=None,
         )
-        self._arena = jax.jit(
-            make_arena_fn(game, apply_fn, apply_fn, arena_cfg, cfg.arena.num_games)
-        )
 
-        # live state
-        self.rng = jax.random.key(cfg.seed)
-        self.incumbent = init_train_state(
-            model, jax.random.key(cfg.seed + 1), game.feature_shape, cfg.train
+        if mesh is None:
+            self._selfplay = jax.jit(sp_fn)
+            self._insert = jax.jit(insert_fn)
+            self._train_phase = jax.jit(train_fn)
+            arena_sharding = None
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from alphazero_tpu.parallel import param_shardings
+            from alphazero_tpu.replay import ReplayState
+
+            data_tb = NamedSharding(mesh, P(None, "data"))  # [T, B, ...]
+            data_b = NamedSharding(mesh, P("data"))         # [B/Cap, ...]
+            repl = NamedSharding(mesh, P())
+
+            tstate_sh = TrainState(
+                params=param_shardings(mesh, self.incumbent.params),
+                batch_stats=param_shardings(mesh, self.incumbent.batch_stats),
+                opt_state=jax.tree_util.tree_map(
+                    lambda _: repl, self.incumbent.opt_state
+                ),
+                step=repl,
+            )
+            replay_sh = ReplayState(
+                features=data_b, pi=data_b, value=data_b,
+                pos=repl, size=repl, total=repl,
+            )
+            self.incumbent = jax.tree_util.tree_map(
+                jax.device_put, self.incumbent, tstate_sh
+            )
+            self.replay = jax.tree_util.tree_map(
+                jax.device_put, self.replay, replay_sh
+            )
+
+            traj_sd, stats_sd = jax.eval_shape(
+                sp_fn, variables_of(self.incumbent), jax.random.key(0)
+            )
+            self._selfplay = jax.jit(
+                sp_fn,
+                out_shardings=(
+                    jax.tree_util.tree_map(lambda _: data_tb, traj_sd),
+                    jax.tree_util.tree_map(lambda _: data_b, stats_sd),
+                ),
+            )
+            self._insert = jax.jit(insert_fn, out_shardings=replay_sh)
+            self._train_phase = jax.jit(
+                train_fn, out_shardings=(tstate_sh, repl)
+            )
+            arena_sharding = data_b
+
+        self._arena = jax.jit(
+            make_arena_fn(
+                game,
+                apply_fn,
+                apply_fn,
+                arena_cfg,
+                cfg.arena.num_games,
+                state_sharding=arena_sharding,
+            )
         )
-        self.replay = replay_init(game, cfg.replay)
         self.iteration = 0
         self.model_id = 0
         self.elo = EloTracker()

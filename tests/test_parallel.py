@@ -144,3 +144,33 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_mesh_coach_matches_unsharded():
+    """A full Coach iteration under the 8-device mesh (BASELINE config 5's
+    pipeline: sharded self-play -> replay -> DP learner -> arena gate)
+    produces the same record as the single-device Coach."""
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import ArenaConfig, AZConfig
+    from alphazero_tpu.models import MLPNet
+
+    cfg = AZConfig(
+        mcts=MCTSConfig(num_sims=8, max_depth=16),
+        selfplay=SelfPlayConfig(batch_size=16, temp_threshold=6),
+        replay=ReplayConfig(capacity=2048),
+        train=TrainConfig(batch_size=32, steps_per_iteration=4),
+        arena=ArenaConfig(num_games=8, update_threshold=0.6, num_sims=4),
+        seed=7,
+    )
+    records = {}
+    for mesh in (None, make_mesh()):
+        model = MLPNet(num_actions=G.num_actions, hidden=(32,))
+        coach = Coach(G, model, cfg, mesh=mesh)
+        records["mesh" if mesh else "single"] = coach.run_iteration()
+
+    a, b = records["single"], records["mesh"]
+    for k in ("replay_size", "selfplay_moves", "arena_wins", "arena_losses",
+              "arena_draws", "accepted", "model_id"):
+        assert a[k] == b[k], (k, a[k], b[k])
+    np.testing.assert_allclose(a["loss_first"], b["loss_first"], atol=1e-5)
+    np.testing.assert_allclose(a["loss_last"], b["loss_last"], atol=1e-5)
