@@ -59,6 +59,7 @@ def make_arena_fn(
     max_moves: Optional[int] = None,
     block_size: Optional[int] = None,
     state_sharding=None,
+    mesh=None,
 ):
     """Build ``play(params_cand, params_inc, rng) -> ArenaResult``.
 
@@ -81,9 +82,9 @@ def make_arena_fn(
     # counts by whose turn it is — identical semantics to the combined
     # forward (the searching player uses their net for every leaf of their
     # search), at fused-kernel speed.
-    fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size)
-    fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size)
-    hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size)
+    fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size, mesh=mesh)
+    fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size, mesh=mesh)
+    hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size, mesh=mesh)
 
     if fused_cand is not None and fused_inc is not None:
         def root_counts(params, state):

@@ -85,7 +85,7 @@ class Coach:
         )
         self.replay = replay_init(game, cfg.replay)
 
-        sp_fn = make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay)
+        sp_fn = make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh)
         insert_fn = lambda r, t: replay_insert(r, game, t)
         train_fn = make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
         # arena evaluation is noise-free greedy play: strip root Dirichlet
@@ -154,6 +154,7 @@ class Coach:
                 arena_cfg,
                 cfg.arena.num_games,
                 state_sharding=arena_sharding,
+                mesh=mesh,
             )
         )
         self.iteration = 0

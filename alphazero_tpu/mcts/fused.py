@@ -89,10 +89,18 @@ def make_fused_root_fn(
     apply_fn,
     cfg: MCTSConfig,
     block_size: Optional[int] = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Optional[Callable[[Any, Any, Optional[jax.Array]], jax.Array]]:
     """Build ``root_counts(params, root_state, rng) -> f32[B, A]`` on the
     fused kernel, or return None when the configuration needs the general
     XLA engine (NN priors, games without flat ops, nonzero heuristics).
+
+    ``mesh`` makes the kernel invocation multi-chip: root priors (and any
+    Dirichlet noise) are computed in plain sharded XLA — bit-identical to
+    the single-device path — and the Pallas call itself runs per-shard
+    under ``shard_map`` over ``data_axis`` (a Pallas kernel is a
+    single-device program; shard_map is how it rides a sharded jit).
     """
     if os.environ.get("AZ_DISABLE_FUSED"):
         return None
@@ -711,6 +719,18 @@ def make_fused_root_fn(
             prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
         p_masked = jnp.where(root_valid, prior, INVALID_P)
         weights = () if extract_weights is None else tuple(extract_weights(params))
+        if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            sharded = jax.shard_map(
+                lambda b, pr, *w: run_kernel(b, pr, w)[0],
+                mesh=mesh,
+                in_specs=(P(data_axis), P(data_axis)) + (P(),) * len(weights),
+                out_specs=P(data_axis),
+                # pallas_call out_shapes carry no varying-mesh-axes info
+                check_vma=False,
+            )
+            return sharded(boards, p_masked, *weights)
         counts, _ = run_kernel(boards, p_masked, weights)
         return counts
 

@@ -63,10 +63,18 @@ def make_hybrid_root_fn(
     apply_fn,
     cfg: MCTSConfig,
     block_size: Optional[int] = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Optional[Callable[[Any, Any, Optional[jax.Array]], jax.Array]]:
     """Build ``root_counts(params, root_state, rng) -> f32[B, A]`` on the
     hybrid engine, or None when the configuration can't use it (no flat
-    ops, nonzero heuristic, K>1 leaf parallelism)."""
+    ops, nonzero heuristic, K>1 leaf parallelism).
+
+    ``mesh`` makes the search multi-chip: root priors (incl. Dirichlet
+    noise) are computed in plain sharded XLA — bit-identical to the
+    single-device path — and the whole simulation loop (Pallas kernels +
+    the per-shard model forward with replicated params) runs under
+    ``shard_map`` over ``data_axis``."""
     if os.environ.get("AZ_DISABLE_HYBRID"):
         return None
     if block_size is None and jax.default_backend() != "tpu":
@@ -347,31 +355,14 @@ def make_hybrid_root_fn(
     # ------------------------------------------------------------------
     # the driver: init planes, loop sims, read root counts
     # ------------------------------------------------------------------
-    def root_counts(params, root_state, rng: Optional[jax.Array] = None) -> jax.Array:
-        boards = ops.from_state(root_state)
+    def run_search(boards: jax.Array, p_masked: jax.Array, params) -> jax.Array:
+        """All simulations for one (shard-local) batch of root boards with
+        installed root priors; returns root visit counts [B, A]."""
         B = boards.shape[0]
         Bb = block_size or _pick_block(B, A, C)
         if B % Bb != 0:
             Bb = max(b for b in range(1, min(Bb, B) + 1) if B % b == 0)
         interpret = jax.default_backend() == "cpu"
-
-        # root prior (identical to mcts/search.py's search root install)
-        root_valid = jax.vmap(game.valid_moves)(root_state)
-        if getattr(apply_fn, "needs_features", True):
-            feats = jax.vmap(game.to_features)(root_state)
-        else:
-            feats = jnp.zeros((B, 1), jnp.float32)
-        logits, _ = apply_fn(params, feats)
-        prior = masked_policy(logits, root_valid)
-        if cfg.dirichlet_alpha is not None:
-            if rng is None:
-                raise ValueError("dirichlet noise requires an rng key")
-            noise = jax.random.dirichlet(
-                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
-            )
-            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
-            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
-        p_masked = jnp.where(root_valid, prior, INVALID_P)
 
         rdone, rtval = ops.terminal(boards, aux)            # [B, 1]
         n0 = jnp.zeros((B, A, C), jnp.float32)
@@ -421,5 +412,41 @@ def make_hybrid_root_fn(
             0, cfg.num_sims, body, (n0, w0, p0, code0, done0, tval0)
         )
         return planes[0][:, :, 0]
+
+    def root_counts(params, root_state, rng: Optional[jax.Array] = None) -> jax.Array:
+        boards = ops.from_state(root_state)
+        B = boards.shape[0]
+
+        # root prior (identical to mcts/search.py's search root install)
+        root_valid = jax.vmap(game.valid_moves)(root_state)
+        if getattr(apply_fn, "needs_features", True):
+            feats = jax.vmap(game.to_features)(root_state)
+        else:
+            feats = jnp.zeros((B, 1), jnp.float32)
+        logits, _ = apply_fn(params, feats)
+        prior = masked_policy(logits, root_valid)
+        if cfg.dirichlet_alpha is not None:
+            if rng is None:
+                raise ValueError("dirichlet noise requires an rng key")
+            noise = jax.random.dirichlet(
+                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
+            )
+            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
+            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+        p_masked = jnp.where(root_valid, prior, INVALID_P)
+
+        if mesh is not None and mesh.shape.get(data_axis, 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            sharded = jax.shard_map(
+                run_search,
+                mesh=mesh,
+                in_specs=(P(data_axis), P(data_axis), P()),
+                out_specs=P(data_axis),
+                # pallas_call out_shapes carry no varying-mesh-axes info
+                check_vma=False,
+            )
+            return sharded(boards, p_masked, params)
+        return run_search(boards, p_masked, params)
 
     return root_counts

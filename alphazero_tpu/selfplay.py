@@ -43,18 +43,20 @@ from alphazero_tpu.mcts.search import make_search_fn
 from alphazero_tpu.ops import action_probs
 
 
-def _make_root_counts_fn(game, apply_fn, mcts_cfg: MCTSConfig):
+def _make_root_counts_fn(game, apply_fn, mcts_cfg: MCTSConfig, mesh=None):
     """``(params, state, rng) -> root visit counts [B, A]``.
 
     Engine ladder, fastest-first: the VMEM-resident fused Pallas kernel
     (mcts/fused.py — constant-prior or in-kernel-MLP models on games with
     flat ops), then the hybrid descend/merge-kernel engine (mcts/hybrid.py
     — ANY model on flat-ops games), then the general XLA engine. All are
-    bit-identical (tests/test_fused.py, tests/test_hybrid.py)."""
-    fused = make_fused_root_fn(game, apply_fn, mcts_cfg)
+    bit-identical (tests/test_fused.py, tests/test_hybrid.py). ``mesh``
+    runs the Pallas engines per-shard under shard_map (the XLA engine
+    shards natively through GSPMD)."""
+    fused = make_fused_root_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     if fused is not None:
         return fused
-    hybrid = make_hybrid_root_fn(game, apply_fn, mcts_cfg)
+    hybrid = make_hybrid_root_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     if hybrid is not None:
         return hybrid
     search = make_search_fn(game, apply_fn, mcts_cfg)
@@ -88,13 +90,14 @@ def make_selfplay_fn(
     apply_fn,
     mcts_cfg: MCTSConfig,
     sp_cfg: SelfPlayConfig,
+    mesh=None,
 ) -> Callable[[Any, jax.Array], Tuple[Trajectory, SelfPlayStats]]:
     """Build ``play_games(params, rng) -> (Trajectory, SelfPlayStats)``.
 
     The returned function plays ``sp_cfg.batch_size`` games from the initial
     position to termination (or ``max_moves``) under one jit.
     """
-    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg)
+    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     feat_v = jax.vmap(game.to_features)
@@ -163,6 +166,7 @@ def make_actor_step_fn(
     mcts_cfg: MCTSConfig,
     batch_size: int,
     temp_threshold: int,
+    mesh=None,
 ):
     """Steady-state actor: one search+move for every board, with finished
     games recycled to the initial position (episode recycling — SURVEY.md §7
@@ -176,7 +180,7 @@ def make_actor_step_fn(
     per-game episode accounting — callers that need exact value targets use
     ``make_selfplay_fn``; the bench only needs throughput).
     """
-    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg)
+    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     B = batch_size
