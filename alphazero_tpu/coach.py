@@ -159,6 +159,7 @@ class Coach:
         )
         self.iteration = 0
         self.model_id = 0
+        self._selfplay_ran = False
         self.elo = EloTracker()
         self.metrics = MetricsLogger(cfg.checkpoint_dir)
         self.timer = PhaseTimer()
@@ -259,14 +260,26 @@ class Coach:
         cfg = self.cfg
         (k_sp, k_train, k_arena) = self._split(3)
 
-        with self.timer.phase("selfplay"):
-            traj, stats = self._selfplay(variables_of(self.incumbent), k_sp)
-            jax.block_until_ready(traj.features)
-        with self.timer.phase("replay_insert"):
-            self.replay = self._insert(self.replay, traj)
-            jax.block_until_ready(self.replay.pos)
-        if self.example_store is not None:
-            self._archive_examples(traj)
+        # the reference's skip_first_play (examples/connect_four.rs:73):
+        # on the first iteration after (re)start, train straight on the
+        # restored replay instead of generating new games
+        skip_sp = (
+            cfg.skip_first_selfplay
+            and not self._selfplay_ran
+            and int(self.replay.size) > 0
+        )
+        self._selfplay_ran = True
+        selfplay_moves = 0
+        if not skip_sp:
+            with self.timer.phase("selfplay"):
+                traj, stats = self._selfplay(variables_of(self.incumbent), k_sp)
+                jax.block_until_ready(traj.features)
+            selfplay_moves = int(jnp.sum(stats.num_moves))
+            with self.timer.phase("replay_insert"):
+                self.replay = self._insert(self.replay, traj)
+                jax.block_until_ready(self.replay.pos)
+            if self.example_store is not None:
+                self._archive_examples(traj)
         with self.timer.phase("train"):
             candidate, losses = self._train_phase(self.incumbent, self.replay, k_train)
             jax.block_until_ready(losses)
@@ -299,7 +312,7 @@ class Coach:
             "loss_last": float(losses[-1]),
             "replay_size": int(self.replay.size),
             "replay_total": int(self.replay.total),
-            "selfplay_moves": int(jnp.sum(stats.num_moves)),
+            "selfplay_moves": selfplay_moves,
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }
         self.metrics.log(record)

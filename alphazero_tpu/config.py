@@ -122,3 +122,9 @@ class AZConfig:
     #                              checkpoint bytes; large runs set k>1).
     #                              learn() always saves after its last
     #                              iteration regardless.
+    skip_first_selfplay: bool = False  # skip self-play on the first
+    #                              iteration after (re)start when the replay
+    #                              already holds samples — train directly on
+    #                              the restored examples (the reference's
+    #                              `skip_first_play` learn() flag,
+    #                              examples/connect_four.rs:73).

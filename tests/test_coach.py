@@ -116,3 +116,25 @@ def test_checkpoint_interval(tmp_path):
     assert latest_step(str(tmp_path)) == 3
     resumed = Coach(game, model, cfg)
     assert resumed.iteration == 3
+
+
+def test_skip_first_selfplay(tmp_path):
+    """The reference's skip_first_play flag (examples/connect_four.rs:73):
+    after resume with a non-empty replay, the first iteration trains
+    directly on the restored examples."""
+    import dataclasses
+
+    coach = make_coach(tmp_path, seed=5)
+    coach.learn(1)
+    total_before = int(coach.replay.total)
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = dataclasses.replace(tiny_cfg(tmp_path, seed=5), skip_first_selfplay=True)
+    resumed = Coach(game, model, cfg)
+    rec = resumed.run_iteration()
+    assert rec["selfplay_moves"] == 0          # no new games
+    assert int(resumed.replay.total) == total_before
+    assert np.isfinite(rec["loss_last"])       # trained on restored replay
+    rec2 = resumed.run_iteration()
+    assert rec2["selfplay_moves"] > 0          # second iteration plays again
