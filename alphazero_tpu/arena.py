@@ -84,7 +84,13 @@ def make_arena_fn(
     # search), at fused-kernel speed.
     fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size, mesh=mesh)
     fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size, mesh=mesh)
-    hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size, mesh=mesh)
+    # the combined forward closes over the per-game cand_to_move row select,
+    # which the hybrid's shard_map would replicate against shard-local leaf
+    # boards — on a >1-device mesh the arena uses the XLA engine instead
+    # (GSPMD shards mixed params/batch natively; arena cost is negligible)
+    hybrid = None
+    if mesh is None or mesh.shape.get("data", 1) == 1:
+        hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size)
 
     if fused_cand is not None and fused_inc is not None:
         def root_counts(params, state):
