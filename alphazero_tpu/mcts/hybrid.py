@@ -53,7 +53,7 @@ from alphazero_tpu.mcts.tree import INVALID_P
 from alphazero_tpu.ops import masked_policy
 
 # meta lanes out of the descend kernel
-_M_EXP, _M_TERM, _M_PSIGN, _M_VTERM = 0, 1, 2, 3
+_M_EXP, _M_TERM, _M_PSIGN, _M_VTERM, _M_CUT = 0, 1, 2, 3, 4
 # meta lanes into the merge kernel
 _M2_MVAL, _M2_EXPOK, _M2_LINKP1, _M2_CDONE, _M2_CTVAL = 0, 1, 2, 3, 4
 
@@ -79,13 +79,16 @@ def make_hybrid_root_fn(
         return None
     if block_size is None and jax.default_backend() != "tpu":
         return None  # same TPU-only auto rule as mcts/fused.py
-    if not getattr(game, "heuristic_is_zero", False):
-        return None
     flat_ops_factory = getattr(game, "flat_ops", None)
     if flat_ops_factory is None:
         return None
     ops = flat_ops_factory()
     if not hasattr(ops, "to_features"):
+        return None
+    # nonzero depth-cutoff heuristics are supported when the flat ops can
+    # evaluate them on the leaf board (the XLA stage applies them)
+    zero_heuristic = bool(getattr(game, "heuristic_is_zero", False))
+    if not zero_heuristic and not hasattr(ops, "heuristic"):
         return None
     if int(getattr(cfg, "parallel_sims", 1) or 1) != 1:
         return None  # leaf-parallel rounds are a fused-kernel feature
@@ -138,24 +141,46 @@ def make_hybrid_root_fn(
             :, 0, :
         ]
 
-        def edge_score(a):
-            na = n[:, a, :]
-            pa = p[:, a, :]
-            qa = w[:, a, :] / jnp.maximum(na, 1.0)
-            ua = cpuct * pa * sqrt_npar / (1.0 + na)
-            return jnp.where(
-                pa <= INVALID_P * 0.5, jnp.float32(-1e30), qa + ua
-            )
+        if A <= 8:
+            # small action spaces: per-action unroll, no [Bb, A, C] score
+            # plane ever materialized
+            def edge_score(a):
+                na = n[:, a, :]
+                pa = p[:, a, :]
+                qa = w[:, a, :] / jnp.maximum(na, 1.0)
+                ua = cpuct * pa * sqrt_npar / (1.0 + na)
+                return jnp.where(
+                    pa <= INVALID_P * 0.5, jnp.float32(-1e30), qa + ua
+                )
 
-        best = edge_score(0)
-        best_a = jnp.zeros((Bb, C), jnp.float32)
-        best_code = code_pl[:, 0, :]
-        for a in range(1, A):
-            sa = edge_score(a)
-            better = sa > best
-            best = jnp.where(better, sa, best)
-            best_a = jnp.where(better, jnp.float32(a), best_a)
-            best_code = jnp.where(better, code_pl[:, a, :], best_code)
+            best = edge_score(0)
+            best_a = jnp.zeros((Bb, C), jnp.float32)
+            best_code = code_pl[:, 0, :]
+            for a in range(1, A):
+                sa = edge_score(a)
+                better = sa > best
+                best = jnp.where(better, sa, best)
+                best_a = jnp.where(better, jnp.float32(a), best_a)
+                best_code = jnp.where(better, code_pl[:, a, :], best_code)
+        else:
+            # large action spaces (Othello: 65): dense score plane +
+            # axis-1 reductions — same arithmetic and the same first-max
+            # tie-break (smallest action index among exact ties)
+            q = w / jnp.maximum(n, 1.0)
+            u = cpuct * p * sqrt_npar[:, None, :] / (1.0 + n)
+            score = jnp.where(
+                p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u
+            )                                          # [Bb, A, C]
+            best = jnp.max(score, axis=1)              # [Bb, C]
+            a_iota3 = jax.lax.broadcasted_iota(
+                jnp.int32, (Bb, A, C), 1
+            ).astype(jnp.float32)
+            best_a = jnp.min(
+                jnp.where(score == best[:, None, :], a_iota3, jnp.float32(A)),
+                axis=1,
+            )
+            on_best = (a_iota3 == best_a[:, None, :]).astype(jnp.float32)
+            best_code = jnp.sum(code_pl * on_best, axis=1)
 
         ones_c = jnp.ones((Bb, C), jnp.float32)
         zero_c = jnp.zeros((Bb, C), jnp.float32)
@@ -171,6 +196,7 @@ def make_hybrid_root_fn(
         st_ref[4] = zero_c                     # exp_mask
         st_ref[5] = zero_c                     # term_mask
         st_ref[6] = zero_c                     # leaf one-hot
+        st_ref[7] = zero_c                     # cut_mask (depth cutoff)
         patha_ref[...] = zero_c
         psgn_ref[...] = zero_c
         bd_ref[...] = board_ref[...]
@@ -219,6 +245,7 @@ def make_hybrid_root_fn(
             st_ref[4] = jnp.maximum(st_ref[4], exp_now)
             st_ref[5] = jnp.maximum(st_ref[5], act * cterm)
             st_ref[6] = st_ref[6] + stop_leaf * (oh_child - st_ref[6])
+            st_ref[7] = jnp.maximum(st_ref[7], act * cutoff)
             ohpa_ref[...] = (
                 ohpa_ref[...] + exp_now_col * (oh_a - ohpa_ref[...])
             )
@@ -229,6 +256,7 @@ def make_hybrid_root_fn(
 
         exp_mask = jnp.max(st_ref[4], axis=1, keepdims=True)   # [Bb, 1]
         term_mask = jnp.max(st_ref[5], axis=1, keepdims=True)
+        cut_mask = jnp.max(st_ref[7], axis=1, keepdims=True)
         psign = jnp.max(st_ref[3], axis=1, keepdims=True)
         v_term = jnp.sum(tval_ref[...] * st_ref[6], axis=1, keepdims=True)
 
@@ -238,6 +266,7 @@ def make_hybrid_root_fn(
             + (meta_iota == _M_TERM).astype(jnp.float32) * term_mask
             + (meta_iota == _M_PSIGN).astype(jnp.float32) * psign
             + (meta_iota == _M_VTERM).astype(jnp.float32) * v_term
+            + (meta_iota == _M_CUT).astype(jnp.float32) * cut_mask
         )
 
     # ------------------------------------------------------------------
@@ -298,6 +327,11 @@ def make_hybrid_root_fn(
     # ------------------------------------------------------------------
     # pallas_call wrappers
     # ------------------------------------------------------------------
+    # large-A games (Othello: [Bb, 72, 128]-padded plane blocks) exceed the
+    # default 16MB scoped-vmem limit once the pipeline double-buffers the
+    # plane IO; raise the per-kernel limit (v5e has 128MB VMEM)
+    _compiler_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
     def _specs(Bb):
         plane = pl.BlockSpec((Bb, A, C), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
         col = pl.BlockSpec((Bb, C), lambda g: (g, 0), memory_space=pltpu.VMEM)
@@ -325,7 +359,8 @@ def make_hybrid_root_fn(
                 jax.ShapeDtypeStruct((B, C), jnp.float32),
                 jax.ShapeDtypeStruct((B, 8), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((7, Bb, C), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((8, Bb, C), jnp.float32)],
+            compiler_params=None if interpret else _compiler_params,
             interpret=interpret,
         )(*planes, boards, aux)
 
@@ -349,6 +384,7 @@ def make_hybrid_root_fn(
                 jax.ShapeDtypeStruct((B, C), jnp.float32),
             ],
             input_output_aliases={i: i for i in range(6)},
+            compiler_params=None if interpret else _compiler_params,
             interpret=interpret,
         )(*planes, pm, patha, psgn, ohpa, ohpp, slotoh, meta2)
 
@@ -380,7 +416,11 @@ def make_hybrid_root_fn(
             )
             vm = ops.valid(bd)
             cdone_b, ctval = ops.terminal(bd, aux)           # [B, 1]
-            logits, v_nn = apply_fn(params, ops.to_features(bd))
+            if getattr(apply_fn, "needs_features", True):
+                feats = ops.to_features(bd)
+            else:
+                feats = jnp.zeros((B, 1), jnp.float32)
+            logits, v_nn = apply_fn(params, feats)
             prior = masked_policy(logits, vm)
             pm = jnp.where(vm, prior, INVALID_P)
 
@@ -391,6 +431,11 @@ def make_hybrid_root_fn(
             cdone = cdone_b.astype(jnp.float32)
             v_expand = ctval + (1.0 - cdone) * (v_nn[:, None] - ctval)
             v_leaf = exp * v_expand + (1.0 - exp) * term * vterm
+            if not zero_heuristic:
+                # depth-cutoff leaves back up the heuristic of the carried
+                # leaf board (async_mcts.rs:241-243's eval_heuristic)
+                cut = meta[:, _M_CUT : _M_CUT + 1]
+                v_leaf = v_leaf + (1.0 - exp) * cut * ops.heuristic(bd)
             mval = v_leaf * psign
 
             s = i + 1

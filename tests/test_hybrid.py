@@ -112,3 +112,80 @@ def test_arena_hybrid_matches_xla_engine():
     r_xla = play_xla(p_cand, p_inc, key)
     r_hyb = play_hyb(p_cand, p_inc, key)
     assert tuple(map(int, r_xla)) == tuple(map(int, r_hyb))
+
+
+# ---------------------------------------------------------------------------
+# Othello on the hybrid engine (large action space, pass moves, nonzero
+# depth-cutoff heuristic)
+# ---------------------------------------------------------------------------
+
+def _random_oth_positions(game, B, moves, seed):
+    rng = np.random.default_rng(seed)
+    state = jax.vmap(lambda _: game.init())(jnp.arange(B))
+    step_v = jax.jit(jax.vmap(game.step))
+    for _ in range(moves):
+        vm = np.array(jax.vmap(game.valid_moves)(state))
+        acts = np.array([rng.choice(np.nonzero(v)[0]) for v in vm])
+        nxt = step_v(state, jnp.asarray(acts))
+        done, _ = jax.vmap(game.terminal)(nxt)
+        keep = np.array(done)[:, None, None]
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(keep, o, n), nxt, state
+        )
+    return state
+
+
+def test_othello_flat_step_matches_game_step():
+    """The kernel-friendly ray-walk step reproduces Othello.step exactly,
+    for every action (incl. pass and illegal placements) on random
+    midgame boards."""
+    from alphazero_tpu.games import Othello
+
+    game = Othello()
+    ops = game.flat_ops()
+    state = _random_oth_positions(game, 16, 11, seed=3)
+    boards = ops.from_state(state)
+    for a in range(game.num_actions):
+        acts = jnp.full((16,), a, jnp.int32)
+        ref = jax.vmap(game.step)(state, acts).board
+        flat = ops.step(boards, jnp.full((16, 1), float(a)))
+        np.testing.assert_array_equal(
+            np.asarray(ref).reshape(16, 64), np.asarray(flat).astype(np.int8)
+        )
+
+
+@pytest.mark.parametrize("moves", [0, 8])
+def test_hybrid_othello_uniform_matches_xla_engine(moves):
+    from alphazero_tpu.games import Othello
+
+    game = Othello()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=10, max_depth=64)
+    search = make_search_fn(game, net.apply_fn, cfg)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+    assert hybrid is not None
+    state = _random_oth_positions(game, 4, moves, seed=moves)
+    np.testing.assert_array_equal(
+        np.array(search({}, state).root_counts()),
+        np.array(hybrid({}, state)),
+    )
+
+
+def test_hybrid_othello_mlp_cutoff_matches_xla_engine():
+    """Tiny max_depth forces depth-cutoff leaves: the hybrid must back up
+    the same nonzero disc-differential heuristic as the XLA engine."""
+    from alphazero_tpu.games import Othello
+
+    game = Othello()
+    model = MLPNet(num_actions=game.num_actions, hidden=(16,))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(3), game.feature_shape)
+    cfg = MCTSConfig(num_sims=12, max_depth=3)
+    search = make_search_fn(game, apply_fn, cfg)
+    hybrid = make_hybrid_root_fn(game, apply_fn, cfg, block_size=4)
+    assert hybrid is not None
+    state = _random_oth_positions(game, 4, 6, seed=9)
+    np.testing.assert_array_equal(
+        np.array(search(params, state).root_counts()),
+        np.array(hybrid(params, state)),
+    )
