@@ -102,45 +102,17 @@ def make_hybrid_root_fn(
     aux_shape = tuple(aux.shape)
 
     # ------------------------------------------------------------------
-    # descend kernel: one read pass over the stat planes
+    # shared PUCT refresh (runs INSIDE the merge kernel, and once in XLA
+    # to seed the initial best planes — same ops, so bit-identical)
     # ------------------------------------------------------------------
-    def descend_kernel(
-        n_ref,      # f32[Bb, A, C]
-        w_ref,      # f32[Bb, A, C]
-        p_ref,      # f32[Bb, A, C]
-        code_ref,   # f32[Bb, A, C]
-        done_ref,   # f32[Bb, C]
-        tval_ref,   # f32[Bb, C]
-        board_ref,  # f32[Bb, L] root boards
-        aux_ref,    # f32[L, K] win-line matrix
-        bd_ref,     # OUT f32[Bb, L] leaf board
-        patha_ref,  # OUT f32[Bb, C] compressed path record: action+1 at lane=node
-        psgn_ref,   # OUT f32[Bb, C] root-parity sign at lane=node
-        ohpa_ref,   # OUT f32[Bb, A] expansion-action one-hot
-        ohpp_ref,   # OUT f32[Bb, C] expansion-parent one-hot
-        meta_ref,   # OUT f32[Bb, 8] (exp_mask | term_mask | psign | v_term)
-        st_ref,     # scratch f32[7, Bb, C]
-    ):
-        # Mosaic layout rules as in mcts/fused.py: scratch-resident descent
-        # state, one f32 scalar while_loop carry, arithmetic blends, no i1
-        # vectors, [Bb, 1] columns only as keepdims-reduce -> broadcast.
-        Bb = board_ref.shape[0]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, C), 1)
-        lane_f = lane.astype(jnp.float32)
-        act_iota_f = jax.lax.broadcasted_iota(jnp.int32, (Bb, A), 1).astype(
-            jnp.float32
-        )
-        del aux_ref  # terminality of the leaf is resolved by the XLA stage
-
-        # dense PUCT refresh + first-max argmax (mcts/fused.py refresh_best)
-        n = n_ref[...]
-        w = w_ref[...]
-        p = p_ref[...]
-        code_pl = code_ref[...]
+    def _refresh(n, w, p, code_pl):
+        """(best_a, best_code) [.., C] from stat planes [.., A, C] —
+        mcts/fused.py refresh_best semantics: PUCT node.rs:343-370 with
+        first-max tie-breaking."""
+        Bb = n.shape[0]
         sqrt_npar = jnp.sqrt(jnp.sum(n, axis=1, keepdims=True) + PUCT_EPS)[
             :, 0, :
         ]
-
         if A <= 8:
             # small action spaces: per-action unroll, no [Bb, A, C] score
             # plane ever materialized
@@ -162,25 +134,60 @@ def make_hybrid_root_fn(
                 best = jnp.where(better, sa, best)
                 best_a = jnp.where(better, jnp.float32(a), best_a)
                 best_code = jnp.where(better, code_pl[:, a, :], best_code)
-        else:
-            # large action spaces (Othello: 65): dense score plane +
-            # axis-1 reductions — same arithmetic and the same first-max
-            # tie-break (smallest action index among exact ties)
-            q = w / jnp.maximum(n, 1.0)
-            u = cpuct * p * sqrt_npar[:, None, :] / (1.0 + n)
-            score = jnp.where(
-                p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u
-            )                                          # [Bb, A, C]
-            best = jnp.max(score, axis=1)              # [Bb, C]
-            a_iota3 = jax.lax.broadcasted_iota(
-                jnp.int32, (Bb, A, C), 1
-            ).astype(jnp.float32)
-            best_a = jnp.min(
-                jnp.where(score == best[:, None, :], a_iota3, jnp.float32(A)),
-                axis=1,
-            )
-            on_best = (a_iota3 == best_a[:, None, :]).astype(jnp.float32)
-            best_code = jnp.sum(code_pl * on_best, axis=1)
+            return best_a, best_code
+        # large action spaces (Othello: 65): dense score plane + axis-1
+        # reductions — same arithmetic and the same first-max tie-break
+        # (smallest action index among exact ties)
+        q = w / jnp.maximum(n, 1.0)
+        u = cpuct * p * sqrt_npar[:, None, :] / (1.0 + n)
+        score = jnp.where(
+            p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u
+        )                                          # [Bb, A, C]
+        best = jnp.max(score, axis=1)              # [Bb, C]
+        a_iota3 = jax.lax.broadcasted_iota(
+            jnp.int32, (Bb, A, C), 1
+        ).astype(jnp.float32)
+        best_a = jnp.min(
+            jnp.where(score == best[:, None, :], a_iota3, jnp.float32(A)),
+            axis=1,
+        )
+        on_best = (a_iota3 == best_a[:, None, :]).astype(jnp.float32)
+        best_code = jnp.sum(code_pl * on_best, axis=1)
+        return best_a, best_code
+
+    # ------------------------------------------------------------------
+    # descend kernel: consumes the [Bb, C] best-action planes the previous
+    # merge produced — the big [Bb, A, C] stat planes are NOT read here, so
+    # per simulation HBM sees the stats exactly once (the merge RMW)
+    # ------------------------------------------------------------------
+    def descend_kernel(
+        besta_ref,  # f32[Bb, C] per-node PUCT argmax action
+        bestc_ref,  # f32[Bb, C] its child code
+        done_ref,   # f32[Bb, C]
+        tval_ref,   # f32[Bb, C]
+        board_ref,  # f32[Bb, L] root boards
+        aux_ref,    # f32[L, K] game constant
+        bd_ref,     # OUT f32[Bb, L] leaf board
+        patha_ref,  # OUT f32[Bb, C] compressed path record: action+1 at lane=node
+        psgn_ref,   # OUT f32[Bb, C] root-parity sign at lane=node
+        ohpa_ref,   # OUT f32[Bb, A] expansion-action one-hot
+        ohpp_ref,   # OUT f32[Bb, C] expansion-parent one-hot
+        meta_ref,   # OUT f32[Bb, 8] (exp | term | psign | v_term | cut)
+        st_ref,     # scratch f32[8, Bb, C]
+    ):
+        # Mosaic layout rules as in mcts/fused.py: scratch-resident descent
+        # state, one f32 scalar while_loop carry, arithmetic blends, no i1
+        # vectors, [Bb, 1] columns only as keepdims-reduce -> broadcast.
+        Bb = board_ref.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bb, C), 1)
+        lane_f = lane.astype(jnp.float32)
+        act_iota_f = jax.lax.broadcasted_iota(jnp.int32, (Bb, A), 1).astype(
+            jnp.float32
+        )
+        del aux_ref  # terminality of the leaf is resolved by the XLA stage
+
+        best_a = besta_ref[...]
+        best_code = bestc_ref[...]
 
         ones_c = jnp.ones((Bb, C), jnp.float32)
         zero_c = jnp.zeros((Bb, C), jnp.float32)
@@ -270,7 +277,9 @@ def make_hybrid_root_fn(
         )
 
     # ------------------------------------------------------------------
-    # merge kernel: one RMW pass (planes aliased in-place)
+    # merge kernel: one RMW pass (planes aliased in-place) + the PUCT
+    # refresh on the just-merged stats (they're in VMEM anyway — the next
+    # descend then needs only the thin [Bb, C] best planes)
     # ------------------------------------------------------------------
     def merge_kernel(
         n_ref,      # f32[Bb, A, C] (aliased to n_out)
@@ -292,6 +301,8 @@ def make_hybrid_root_fn(
         code_out,
         done_out,
         tval_out,
+        besta_out,  # OUT f32[Bb, C] refreshed PUCT argmax planes
+        bestc_out,
     ):
         Bb = pm_ref.shape[0]
         act_iota_f = jax.lax.broadcasted_iota(jnp.int32, (Bb, A), 1).astype(
@@ -311,18 +322,25 @@ def make_hybrid_root_fn(
         on_a = (
             act_iota_f[:, :, None] + 1.0 == patha[:, None, :]
         ).astype(jnp.float32)                              # [Bb, A, C]
-        n_out[...] = n_ref[...] * keep + on_a
-        w_out[...] = (
+        n2 = n_ref[...] * keep + on_a
+        w2 = (
             w_ref[...] * keep
             + mval[:, :, None] * (psgn_ref[...][:, None, :] * on_a)
         )
-        p_out[...] = p_ref[...] * keep + wm_f * pm_ref[...][:, :, None]
+        p2 = p_ref[...] * keep + wm_f * pm_ref[...][:, :, None]
         link_add = (linkp1 * ohpa_ref[...])[:, :, None] * (
             ohpp_ref[...][:, None, :]
         )
-        code_out[...] = code_ref[...] * keep - wm_f + link_add
+        code2 = code_ref[...] * keep - wm_f + link_add
+        n_out[...] = n2
+        w_out[...] = w2
+        p_out[...] = p2
+        code_out[...] = code2
         done_out[...] = done_ref[...] * (1.0 - nm_f) + nm_f * cdone
         tval_out[...] = tval_ref[...] * (1.0 - nm_f) + nm_f * ctval
+        best_a, best_code = _refresh(n2, w2, p2, code2)
+        besta_out[...] = best_a
+        bestc_out[...] = best_code
 
     # ------------------------------------------------------------------
     # pallas_call wrappers
@@ -340,7 +358,7 @@ def make_hybrid_root_fn(
         row_m = pl.BlockSpec((Bb, 8), lambda g: (g, 0), memory_space=pltpu.VMEM)
         return plane, col, row_a, row_l, row_m
 
-    def descend_call(planes, boards, Bb, interpret):
+    def descend_call(besta, bestc, done, tval, boards, Bb, interpret):
         B = boards.shape[0]
         plane, col, row_a, row_l, row_m = _specs(Bb)
         aux_spec = pl.BlockSpec(
@@ -349,7 +367,7 @@ def make_hybrid_root_fn(
         return pl.pallas_call(
             descend_kernel,
             grid=(B // Bb,),
-            in_specs=[plane] * 4 + [col] * 2 + [row_l, aux_spec],
+            in_specs=[col] * 4 + [row_l, aux_spec],
             out_specs=[row_l, col, col, row_a, col, row_m],
             out_shape=[
                 jax.ShapeDtypeStruct((B, L), jnp.float32),
@@ -362,7 +380,7 @@ def make_hybrid_root_fn(
             scratch_shapes=[pltpu.VMEM((8, Bb, C), jnp.float32)],
             compiler_params=None if interpret else _compiler_params,
             interpret=interpret,
-        )(*planes, boards, aux)
+        )(besta, bestc, done, tval, boards, aux)
 
     def merge_call(planes, pm, patha, psgn, ohpa, ohpp, slotoh, meta2, Bb, interpret):
         B = pm.shape[0]
@@ -374,12 +392,14 @@ def make_hybrid_root_fn(
             in_specs=[plane] * 4
             + [col] * 2
             + [row_a, col, col, row_a, col, slot_spec, row_m],
-            out_specs=[plane] * 4 + [col] * 2,
+            out_specs=[plane] * 4 + [col] * 4,
             out_shape=[
                 jax.ShapeDtypeStruct((B, A, C), jnp.float32),
                 jax.ShapeDtypeStruct((B, A, C), jnp.float32),
                 jax.ShapeDtypeStruct((B, A, C), jnp.float32),
                 jax.ShapeDtypeStruct((B, A, C), jnp.float32),
+                jax.ShapeDtypeStruct((B, C), jnp.float32),
+                jax.ShapeDtypeStruct((B, C), jnp.float32),
                 jax.ShapeDtypeStruct((B, C), jnp.float32),
                 jax.ShapeDtypeStruct((B, C), jnp.float32),
             ],
@@ -409,10 +429,14 @@ def make_hybrid_root_fn(
             rdone[:, 0].astype(jnp.float32)
         )
         tval0 = jnp.zeros((B, C), jnp.float32).at[:, 0].set(rtval[:, 0])
+        # seed the best planes (the in-kernel refresh on the init stats,
+        # run once in XLA — the merge kernel maintains them from here on)
+        besta0, bestc0 = _refresh(n0, w0, p0, code0)
 
         def body(i, planes):
+            n, w, p, code, done, tval, besta, bestc = planes
             bd, patha, psgn, ohpa, ohpp, meta = descend_call(
-                planes, boards, Bb, interpret
+                besta, bestc, done, tval, boards, Bb, interpret
             )
             vm = ops.valid(bd)
             cdone_b, ctval = ops.terminal(bd, aux)           # [B, 1]
@@ -450,11 +474,15 @@ def make_hybrid_root_fn(
             )
             slotoh = (jnp.arange(C) == s).astype(jnp.float32)[None, :]
             return merge_call(
-                planes, pm, patha, psgn, ohpa, ohpp, slotoh, meta2, Bb, interpret
+                (n, w, p, code, done, tval),
+                pm, patha, psgn, ohpa, ohpp, slotoh, meta2, Bb, interpret,
             )
 
         planes = jax.lax.fori_loop(
-            0, cfg.num_sims, body, (n0, w0, p0, code0, done0, tval0)
+            0,
+            cfg.num_sims,
+            body,
+            (n0, w0, p0, code0, done0, tval0, besta0, bestc0),
         )
         return planes[0][:, :, 0]
 
