@@ -189,3 +189,43 @@ def test_hybrid_othello_mlp_cutoff_matches_xla_engine():
         np.array(search(params, state).root_counts()),
         np.array(hybrid(params, state)),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-leaf-parallel rounds (parallel_sims > 1)
+# ---------------------------------------------------------------------------
+
+def test_hybrid_rounds_match_fused_rounds():
+    """parallel_sims=K in the hybrid implements exactly the fused kernel's
+    round semantics (virtual-loss runner-up rotation + duplicate-claim
+    suppression) — cross-validated bit-for-bit on the same positions."""
+    from alphazero_tpu.mcts.fused import make_fused_root_fn
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=24, max_depth=48, parallel_sims=4)
+    fused = make_fused_root_fn(game, net.apply_fn, cfg, block_size=4)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+    assert fused is not None and hybrid is not None
+    state = _random_positions(game, 8, 6, seed=21)
+    np.testing.assert_array_equal(
+        np.array(fused({}, state)), np.array(hybrid({}, state))
+    )
+
+
+def test_hybrid_rounds_sim_budget_and_determinism():
+    """Othello (large A, no fused counterpart): every round backs up K
+    values — root visit counts sum to num_sims on fresh boards — and the
+    search is deterministic."""
+    from alphazero_tpu.games import Othello
+
+    game = Othello()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=12, max_depth=64, parallel_sims=3)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+    assert hybrid is not None
+    state = jax.vmap(lambda _: game.init())(jnp.arange(4))
+    c1 = np.array(hybrid({}, state))
+    c2 = np.array(hybrid({}, state))
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(c1.sum(axis=1), 12)
