@@ -85,11 +85,21 @@ def test_hybrid_dirichlet_matches():
 
 
 def test_hybrid_gating():
-    """Hybrid declines configs it can't serve (K>1 rounds)."""
+    """Hybrid rejects indivisible round configs and declines games
+    without flat ops."""
     game = ConnectFour()
     net = make_uniform_model(game)
-    cfg = MCTSConfig(num_sims=20, max_depth=48, parallel_sims=4)
-    assert make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4) is None
+    cfg = MCTSConfig(num_sims=20, max_depth=48, parallel_sims=3)
+    with pytest.raises(ValueError):
+        make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+
+    from tests.dummy_game import CountingGame
+
+    cfg_ok = MCTSConfig(num_sims=8, max_depth=8)
+    assert (
+        make_hybrid_root_fn(CountingGame(), net.apply_fn, cfg_ok, block_size=4)
+        is None
+    )
 
 
 def test_arena_hybrid_matches_xla_engine():
