@@ -12,21 +12,28 @@ stat planes per simulation) dominates.
 This engine splits the difference. Tree stat planes live in HBM; each
 simulation is:
 
-1. **descend kernel** (Pallas): ONE read pass over the stat planes —
-   dense PUCT refresh, the whole descent (boards carried as flat VMEM
-   lanes, exactly like mcts/fused.py), and the compressed path record.
-   Outputs the frontier/leaf board plus the tiny per-game record planes.
+1. **descend kernel** (Pallas): the whole descent along the precomputed
+   per-node PUCT argmax planes (thin ``[B, C]`` — the big stat planes are
+   not read here; boards are carried as flat VMEM lanes, exactly like
+   mcts/fused.py) plus the compressed path record. Outputs the
+   frontier/leaf board and the tiny per-game record planes.
 2. **XLA**: legality/terminality of the leaf boards and the model forward
    (full-batch MXU conv/matmul — anything ``apply_fn`` can express),
    leaf-value resolution, slot bookkeeping.
 3. **merge kernel** (Pallas): ONE read-modify-write pass installing the
    new rows, the parent->child link, and the path backup into the planes
-   (aliased in-place — no copy).
+   (aliased in-place — no copy), then the PUCT refresh on the just-merged
+   stats while they sit in VMEM, emitting the next descent's argmax planes.
 
-So the per-simulation plane traffic drops from "several XLA passes +
-0.4-4 ms gathers" to exactly two streaming passes at HBM speed, and the
-NN stays a first-class XLA program. Works for ANY apply_fn on any game
-exposing ``flat_ops`` with a zero cutoff heuristic.
+So the big stat planes touch HBM exactly once per simulation (the merge
+RMW — it also computes the next descent's PUCT argmax planes while the
+stats sit in VMEM), and the NN stays a first-class XLA program. Works
+for ANY apply_fn on any game exposing ``flat_ops`` (nonzero depth-cutoff
+heuristics evaluate on the carried leaf board via ``ops.heuristic``).
+``parallel_sims=K`` runs K leaf-parallel descents per round sharing one
+merge and one K*B-board model forward — the same in-round virtual-loss
+semantics as mcts/fused.py's rounds (cross-validated bit-exact), without
+its (K+1)^A packing restriction.
 
 Semantics are bit-identical to mcts/search.py (same PUCT formula
 node.rs:343-370 incl. EPS, same first-max tie-breaking, same lockstep
@@ -68,7 +75,7 @@ def make_hybrid_root_fn(
 ) -> Optional[Callable[[Any, Any, Optional[jax.Array]], jax.Array]]:
     """Build ``root_counts(params, root_state, rng) -> f32[B, A]`` on the
     hybrid engine, or None when the configuration can't use it (no flat
-    ops, nonzero heuristic, K>1 leaf parallelism).
+    ops; nonzero heuristics need ``ops.heuristic``).
 
     ``mesh`` makes the search multi-chip: root priors (incl. Dirichlet
     noise) are computed in plain sharded XLA — bit-identical to the
