@@ -60,16 +60,26 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore_checkpoint(
-    directory: str, step: int, template: Any
+    directory: str, step: int, template: Any, partial: bool = False
 ) -> Tuple[Any, Optional[dict]]:
-    """Restore payload (shaped like ``template``) + sidecar for ``step``."""
+    """Restore payload (shaped like ``template``) + sidecar for ``step``.
+
+    ``partial=True`` restores only the subtrees present in ``template``
+    (e.g. just the incumbent params for inference/play tools, skipping the
+    replay buffer)."""
     path = _ckpt_path(directory, step)
-    ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         template,
     )
-    payload = ckptr.restore(path, abstract)
+    if partial:
+        ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        payload = ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(abstract, partial_restore=True)
+        )
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        payload = ckptr.restore(path, abstract)
     sidecar = None
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

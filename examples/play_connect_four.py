@@ -30,6 +30,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sims", type=int, default=200)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument(
+        "--model",
+        choices=["mlp", "resnet"],
+        default="mlp",
+        help="architecture the checkpoint was trained with "
+        "(mlp preset = mlp, full preset = resnet)",
+    )
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--human-first", action="store_true")
     args = ap.parse_args()
@@ -44,7 +51,12 @@ def main():
     from alphazero_tpu.config import MCTSConfig, TrainConfig
     from alphazero_tpu.games import ConnectFour
     from alphazero_tpu.mcts import make_search_fn
-    from alphazero_tpu.models import MLPNet, make_flax_apply_fn, make_uniform_model
+    from alphazero_tpu.models import (
+        AZResNet,
+        MLPNet,
+        make_flax_apply_fn,
+        make_uniform_model,
+    )
     from alphazero_tpu.train import init_train_state, variables_of
 
     game = ConnectFour()
@@ -52,7 +64,10 @@ def main():
     if args.checkpoint_dir:
         from alphazero_tpu.checkpoint import latest_step, restore_checkpoint
 
-        model = MLPNet(num_actions=game.num_actions, hidden=(256, 256))
+        if args.model == "resnet":
+            model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
+        else:
+            model = MLPNet(num_actions=game.num_actions, hidden=(256, 256))
         tstate = init_train_state(
             model, jax.random.key(0), game.feature_shape, TrainConfig()
         )
@@ -64,7 +79,8 @@ def main():
             payload, _ = restore_checkpoint(
                 args.checkpoint_dir,
                 step,
-                {"incumbent": tstate._asdict(), "replay": None, "rng": None},
+                {"incumbent": tstate._asdict()},
+                partial=True,
             )
             from alphazero_tpu.train import TrainState
 

@@ -239,3 +239,19 @@ def test_hybrid_rounds_sim_budget_and_determinism():
     c2 = np.array(hybrid({}, state))
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(c1.sum(axis=1), 12)
+
+
+def test_hybrid_rounds_capacity_limited_matches_fused():
+    """Slot exhaustion inside a round (max_nodes < sims) degrades
+    identically to the fused kernel's rounds."""
+    from alphazero_tpu.mcts.fused import make_fused_root_fn
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=24, max_depth=48, max_nodes=10, parallel_sims=4)
+    fused = make_fused_root_fn(game, net.apply_fn, cfg, block_size=4)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+    state = _random_positions(game, 8, 4, seed=31)
+    np.testing.assert_array_equal(
+        np.array(fused({}, state)), np.array(hybrid({}, state))
+    )
