@@ -40,9 +40,13 @@ class ArenaResult(NamedTuple):
     unfinished: jax.Array  # i32[] games that hit max_moves (should be 0)
 
 
-def gate(result: ArenaResult, update_threshold: float) -> bool:
+def gate(result: ArenaResult, update_threshold) -> bool:
     """Accept the candidate iff wins/(wins+losses) >= threshold
-    (coach.rs:383-390). No decisive games -> keep the incumbent."""
+    (coach.rs:383-390). No decisive games -> keep the incumbent.
+    ``update_threshold=None`` = continuous (AlphaZero-2017) mode: always
+    accept."""
+    if update_threshold is None:
+        return True
     cw = int(result.cand_wins)
     iw = int(result.inc_wins)
     if cw + iw == 0:

@@ -99,8 +99,17 @@ class ArenaConfig:
 
     num_games: int = 128         # total head-to-head games; half with each
     #                              seating order (arena.rs:74-79)
-    update_threshold: float = 0.6  # accept iff new_wins/(new+old) >= this
-    #                              (coach.rs:383-390)
+    update_threshold: Optional[float] = 0.6  # accept iff
+    #                              new_wins/(new+old) >= this
+    #                              (coach.rs:383-390, AlphaGo-Zero-style
+    #                              gating). None = CONTINUOUS mode: always
+    #                              adopt the candidate (AlphaZero-2017 —
+    #                              no gate; the arena still runs for Elo
+    #                              telemetry). Continuous mode escapes the
+    #                              cold-start deadlock where generation-1
+    #                              candidates lose to the near-uniform
+    #                              incumbent-with-search while still
+    #                              improving against each other.
     num_sims: Optional[int] = None  # arena search budget; defaults to MCTS's
 
 

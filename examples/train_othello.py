@@ -77,16 +77,20 @@ def main():
         )
     else:
         model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
-        # measured: at 256 steps/iteration the candidate stays underfit
-        # (loss ~3.0 from ln(65)=4.17 CE alone) and the 0.55 gate rejects
-        # it against the incumbent-with-search for 20+ iterations; 1024
-        # steps per iteration crosses the gate within the first few.
+        # CONTINUOUS (AlphaZero-2017) mode: measured on v5e, a gated run
+        # deadlocks at generation 0 — the random-init ResNet's BN washes
+        # its priors to near-uniform, so the incumbent plays essentially
+        # pure 50-sim MCTS, which early sharp-prior candidates lose to
+        # (0.15-0.44 win rate for 30 iterations) even though each trained
+        # generation beats the previous one (gen2 beat gen1 75-49).
+        # Always-adopt training climbs that ladder; the arena still runs
+        # every iteration for the Elo curve.
         cfg = AZConfig(
             mcts=MCTSConfig(num_sims=100, max_depth=80, dirichlet_alpha=0.3),
             selfplay=SelfPlayConfig(batch_size=1024, temp_threshold=12),
             replay=ReplayConfig(capacity=1 << 19),
             train=TrainConfig(batch_size=1024, steps_per_iteration=1024),
-            arena=ArenaConfig(num_games=128, update_threshold=0.55, num_sims=50),
+            arena=ArenaConfig(num_games=128, update_threshold=None, num_sims=50),
             num_iterations=30,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,

@@ -138,3 +138,23 @@ def test_skip_first_selfplay(tmp_path):
     assert np.isfinite(rec["loss_last"])       # trained on restored replay
     rec2 = resumed.run_iteration()
     assert rec2["selfplay_moves"] > 0          # second iteration plays again
+
+
+def test_continuous_mode_always_adopts(tmp_path):
+    """update_threshold=None = AlphaZero-2017 continuous training: every
+    candidate is adopted; the arena still runs for Elo telemetry."""
+    import dataclasses
+
+    from alphazero_tpu.config import ArenaConfig
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = dataclasses.replace(
+        tiny_cfg(seed=6),
+        arena=ArenaConfig(num_games=4, update_threshold=None, num_sims=4),
+    )
+    coach = Coach(game, model, cfg)
+    r1 = coach.run_iteration()
+    r2 = coach.run_iteration()
+    assert r1["accepted"] and r2["accepted"]
+    assert (r1["model_id"], r2["model_id"]) == (1, 2)
