@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from alphazero_tpu.config import MCTSConfig, PUCT_EPS
 from alphazero_tpu.mcts.tree import INVALID_P
-from alphazero_tpu.ops import masked_policy
+from alphazero_tpu.ops import masked_policy, root_prior
 
 # VMEM budget for the tree scratch planes (leave room for temporaries,
 # double-buffered IO and the compiler's own working set).
@@ -701,22 +701,7 @@ def make_fused_root_fn(
         of the model's constant logits + optional Dirichlet) mirrors
         mcts/search.py's ``search`` exactly."""
         boards = ops.from_state(root_state)
-        B = boards.shape[0]
-        root_valid = jax.vmap(game.valid_moves)(root_state)
-        if feat_dummy:
-            feats = jax.vmap(game.to_features)(root_state)
-        else:
-            feats = jnp.zeros((B, 1), jnp.float32)
-        logits, _ = apply_fn(params, feats)
-        prior = masked_policy(logits, root_valid)
-        if cfg.dirichlet_alpha is not None:
-            if rng is None:
-                raise ValueError("dirichlet noise requires an rng key")
-            noise = jax.random.dirichlet(
-                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
-            )
-            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
-            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+        prior, root_valid = root_prior(game, apply_fn, cfg, params, root_state, rng)
         p_masked = jnp.where(root_valid, prior, INVALID_P)
         weights = () if extract_weights is None else tuple(extract_weights(params))
         if mesh is not None and mesh.shape.get(data_axis, 1) > 1:

@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from alphazero_tpu.config import MCTSConfig, PUCT_EPS
 from alphazero_tpu.mcts.fused import _pick_block
 from alphazero_tpu.mcts.tree import INVALID_P
-from alphazero_tpu.ops import masked_policy
+from alphazero_tpu.ops import masked_policy, root_prior
 
 # meta lanes out of the descend kernel
 _M_EXP, _M_TERM, _M_PSIGN, _M_VTERM, _M_CUT, _M_DUP = 0, 1, 2, 3, 4, 5
@@ -928,24 +928,9 @@ def make_hybrid_root_fn(
 
     def root_counts(params, root_state, rng: Optional[jax.Array] = None) -> jax.Array:
         boards = ops.from_state(root_state)
-        B = boards.shape[0]
 
         # root prior (identical to mcts/search.py's search root install)
-        root_valid = jax.vmap(game.valid_moves)(root_state)
-        if getattr(apply_fn, "needs_features", True):
-            feats = jax.vmap(game.to_features)(root_state)
-        else:
-            feats = jnp.zeros((B, 1), jnp.float32)
-        logits, _ = apply_fn(params, feats)
-        prior = masked_policy(logits, root_valid)
-        if cfg.dirichlet_alpha is not None:
-            if rng is None:
-                raise ValueError("dirichlet noise requires an rng key")
-            noise = jax.random.dirichlet(
-                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
-            )
-            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
-            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+        prior, root_valid = root_prior(game, apply_fn, cfg, params, root_state, rng)
         p_masked = jnp.where(root_valid, prior, INVALID_P)
 
         if mesh is not None and mesh.shape.get(data_axis, 1) > 1:

@@ -51,7 +51,7 @@ from alphazero_tpu.mcts.tree import (
     init_tree,
     np_prod,
 )
-from alphazero_tpu.ops import masked_policy
+from alphazero_tpu.ops import masked_policy, root_prior
 
 # apply_fn(params, features[B, ...]) -> (logits[B, A], value[B])
 ApplyFn = Callable[[Any, jax.Array], Tuple[jax.Array, jax.Array]]
@@ -355,17 +355,7 @@ def make_search_fn(
 
         # install root prior (the intended-but-broken first root expansion,
         # defect D1) + optional Dirichlet noise
-        root_valid = jax.vmap(game.valid_moves)(root_state)
-        logits, _ = apply_fn(params, feat_v(root_state))
-        prior = masked_policy(logits, root_valid)
-        if cfg.dirichlet_alpha is not None:
-            if rng is None:
-                raise ValueError("dirichlet noise requires an rng key")
-            noise = jax.random.dirichlet(
-                rng, jnp.full((A,), cfg.dirichlet_alpha), prior.shape[:1]
-            )
-            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
-            prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+        prior, root_valid = root_prior(game, apply_fn, cfg, params, root_state, rng)
         p_masked = jnp.where(root_valid, prior, INVALID_P)
         tree = tree._replace(stats=tree.stats.at[:, PLANE_P, :, 0].set(p_masked))
 

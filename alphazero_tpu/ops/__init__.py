@@ -1,3 +1,3 @@
-from alphazero_tpu.ops.policy import action_probs, masked_policy
+from alphazero_tpu.ops.policy import action_probs, masked_policy, root_prior
 
-__all__ = ["masked_policy", "action_probs"]
+__all__ = ["masked_policy", "action_probs", "root_prior"]

@@ -75,3 +75,32 @@ def action_probs(
     total = jnp.sum(powed, axis=-1, keepdims=True)
     dist = jnp.where(total > 0, powed / jnp.maximum(total, 1e-30), onehot)
     return jnp.where(temp[:, None] <= 0, onehot, dist)
+
+
+def root_prior(game, apply_fn, cfg, params, root_state, rng=None):
+    """Masked root prior with optional Dirichlet exploration noise —
+    the root-install step shared verbatim by all three search engines
+    (the intended-but-broken first root expansion of reference defect D1;
+    noise is this framework's optional extension, off by default).
+
+    Returns ``(prior f32[B, A], valid bool[B, A])``.
+    """
+    valid = jax.vmap(game.valid_moves)(root_state)
+    if getattr(apply_fn, "needs_features", True):
+        feats = jax.vmap(game.to_features)(root_state)
+    else:
+        B = jax.tree_util.tree_leaves(root_state)[0].shape[0]
+        feats = jnp.zeros((B, 1), jnp.float32)
+    logits, _ = apply_fn(params, feats)
+    prior = masked_policy(logits, valid)
+    if cfg.dirichlet_alpha is not None:
+        if rng is None:
+            raise ValueError("dirichlet noise requires an rng key")
+        noise = jax.random.dirichlet(
+            rng,
+            jnp.full((valid.shape[-1],), cfg.dirichlet_alpha),
+            prior.shape[:1],
+        )
+        noise = masked_policy(jnp.log(noise + 1e-12), valid)
+        prior = (1.0 - cfg.dirichlet_frac) * prior + cfg.dirichlet_frac * noise
+    return prior, valid
