@@ -157,6 +157,21 @@ class Coach:
                 mesh=mesh,
             )
         )
+        self._anchor_arena = None
+        if cfg.arena.anchor_interval:
+            from alphazero_tpu.models import make_uniform_model
+
+            self._anchor_arena = jax.jit(
+                make_arena_fn(
+                    game,
+                    apply_fn,
+                    make_uniform_model(game).apply_fn,
+                    arena_cfg,
+                    cfg.arena.num_games,
+                    state_sharding=arena_sharding,
+                    mesh=mesh,
+                )
+            )
         self.iteration = 0
         self.model_id = 0
         self._selfplay_ran = False
@@ -298,6 +313,20 @@ class Coach:
             self.model_id = cand_id
 
         self.iteration += 1
+        anchor = None
+        if (
+            self._anchor_arena is not None
+            and self.iteration % cfg.arena.anchor_interval == 0
+        ):
+            (k_anchor,) = self._split(1)
+            with self.timer.phase("anchor"):
+                ar = self._anchor_arena(
+                    variables_of(self.incumbent), {}, k_anchor
+                )
+                jax.block_until_ready(ar.cand_wins)
+            aw, al = int(ar.cand_wins), int(ar.inc_wins)
+            anchor = aw / max(aw + al, 1)
+
         phases = self.timer.reset()
         record = {
             "iteration": self.iteration,
@@ -313,6 +342,7 @@ class Coach:
             "replay_size": int(self.replay.size),
             "replay_total": int(self.replay.total),
             "selfplay_moves": selfplay_moves,
+            **({"anchor_win_rate": round(anchor, 4)} if anchor is not None else {}),
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }
         self.metrics.log(record)

@@ -111,6 +111,12 @@ class ArenaConfig:
     #                              incumbent-with-search while still
     #                              improving against each other.
     num_sims: Optional[int] = None  # arena search budget; defaults to MCTS's
+    anchor_interval: Optional[int] = None  # every k iterations, also play
+    #                              the incumbent against the FIXED pure-MCTS
+    #                              anchor (uniform prior, same sims) and log
+    #                              anchor_win_rate — an absolute strength
+    #                              reference alongside the relative
+    #                              candidate-vs-incumbent Elo ladder.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -158,3 +158,25 @@ def test_continuous_mode_always_adopts(tmp_path):
     r2 = coach.run_iteration()
     assert r1["accepted"] and r2["accepted"]
     assert (r1["model_id"], r2["model_id"]) == (1, 2)
+
+
+def test_anchor_arena_logged(tmp_path):
+    """arena.anchor_interval plays the incumbent vs the fixed pure-MCTS
+    anchor every k iterations and logs anchor_win_rate."""
+    import dataclasses
+
+    from alphazero_tpu.config import ArenaConfig
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = dataclasses.replace(
+        tiny_cfg(seed=8),
+        arena=ArenaConfig(
+            num_games=4, update_threshold=0.6, num_sims=4, anchor_interval=2
+        ),
+    )
+    coach = Coach(game, model, cfg)
+    r1 = coach.run_iteration()
+    r2 = coach.run_iteration()
+    assert "anchor_win_rate" not in r1
+    assert 0.0 <= r2["anchor_win_rate"] <= 1.0
