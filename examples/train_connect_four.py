@@ -81,7 +81,12 @@ def main():
             selfplay=SelfPlayConfig(batch_size=4096, temp_threshold=15),
             replay=ReplayConfig(capacity=1 << 20),
             train=TrainConfig(batch_size=1024, steps_per_iteration=512),
-            arena=ArenaConfig(num_games=256, update_threshold=0.55, num_sims=50),
+            arena=ArenaConfig(
+                num_games=256,
+                update_threshold=0.55,
+                num_sims=50,
+                anchor_interval=5,
+            ),
             num_iterations=50,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
