@@ -255,3 +255,36 @@ def test_hybrid_rounds_capacity_limited_matches_fused():
     np.testing.assert_array_equal(
         np.array(fused({}, state)), np.array(hybrid({}, state))
     )
+
+
+def test_hybrid_fuzz_random_configs():
+    """Seeded fuzz: random (sims, cpuct, capacity, depth, K) configs must
+    stay bit-exact across the engine pair on random midgame positions —
+    broadens the certified envelope beyond the hand-picked cases."""
+    import random
+
+    rnd = random.Random(1234)
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    for trial in range(6):
+        K = rnd.choice([1, 1, 2, 4])
+        sims = K * rnd.randint(3, 8)
+        cfg = MCTSConfig(
+            num_sims=sims,
+            cpuct=rnd.choice([0.5, 1.0, 2.5]),
+            max_depth=rnd.choice([4, 16, 48]),
+            max_nodes=rnd.choice([None, max(4, sims // 2)]),
+            parallel_sims=K,
+        )
+        state = _random_positions(game, 8, rnd.randint(0, 16), seed=trial)
+        hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+        if K == 1:
+            ref = make_search_fn(game, net.apply_fn, cfg)({}, state).root_counts()
+        else:
+            from alphazero_tpu.mcts.fused import make_fused_root_fn
+
+            ref = make_fused_root_fn(game, net.apply_fn, cfg, block_size=4)({}, state)
+        np.testing.assert_array_equal(
+            np.array(ref), np.array(hybrid({}, state)),
+            err_msg=f"trial {trial}: {cfg}",
+        )
