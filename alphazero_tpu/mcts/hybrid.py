@@ -86,6 +86,8 @@ def make_hybrid_root_fn(
         return None
     if block_size is None and jax.default_backend() != "tpu":
         return None  # same TPU-only auto rule as mcts/fused.py
+    if getattr(apply_fn, "host_callback", False):
+        return None  # host round-trip per sim: the XLA engine handles it
     flat_ops_factory = getattr(game, "flat_ops", None)
     if flat_ops_factory is None:
         return None

@@ -72,3 +72,9 @@ class HostModelBridge:
         return jax.pure_callback(
             host_call, out_shape, params["model_id"], feats, vmap_method="sequential"
         )
+
+
+# the Pallas engines decline host-callback models: the search serializes on
+# the host round-trip either way, so the general XLA engine is the right
+# (and well-tested) vehicle for callbacks
+HostModelBridge.apply_fn.host_callback = True

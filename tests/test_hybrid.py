@@ -288,3 +288,14 @@ def test_hybrid_fuzz_random_configs():
             np.array(ref), np.array(hybrid({}, state)),
             err_msg=f"trial {trial}: {cfg}",
         )
+
+
+def test_hybrid_declines_host_callback_models():
+    """pure_callback models serialize the search on the host round-trip;
+    they stay on the XLA engine (the documented escape hatch)."""
+    from alphazero_tpu.models.bridge import HostModelBridge
+
+    game = ConnectFour()
+    bridge = HostModelBridge(game.num_actions)
+    cfg = MCTSConfig(num_sims=8, max_depth=16)
+    assert make_hybrid_root_fn(game, bridge.apply_fn, cfg, block_size=4) is None
