@@ -181,3 +181,30 @@ def test_init_tree_root_install():
 def test_node_budget_never_exceeded(num_sims):
     tree = run_search([[], [3]], num_sims=num_sims)
     assert np.all(np.asarray(tree.count) <= num_sims + 1)
+
+
+def test_frozen_goldens():
+    """Fixed-seed pure-MCTS visit counts, frozen in tests/golden_counts.json
+    (the BASELINE determinism contract: the reference itself cannot run, so
+    the rebuild's own goldens are the baseline — SURVEY.md §8 note). Any
+    drift in search semantics across versions fails here."""
+    import json
+    import os
+
+    from alphazero_tpu.games import Othello
+
+    with open(os.path.join(os.path.dirname(__file__), "golden_counts.json")) as f:
+        golden = json.load(f)
+    for game, nm in ((ConnectFour(), "connect_four"), (Othello(), "othello")):
+        spec = golden[nm]
+        net = make_uniform_model(game)
+        search = make_search_fn(game, net.apply_fn, MCTSConfig(num_sims=50, max_depth=64))
+        states = []
+        for seq in spec["seqs"]:
+            s = game.init()
+            for a in seq:
+                s = game.step(s, jnp.int32(a))
+            states.append(s)
+        batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        counts = np.asarray(search({}, batched).root_counts()).astype(int)
+        np.testing.assert_array_equal(counts, np.asarray(spec["counts"]), err_msg=nm)
