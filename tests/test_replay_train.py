@@ -135,3 +135,35 @@ def test_end_to_end_selfplay_to_train():
     feats, pi_t, v_t = replay_sample(replay, jax.random.key(2), 32)
     tstate, m = step(tstate, feats, pi_t, v_t, jax.random.key(3))
     assert np.isfinite(float(m.loss))
+
+
+def test_azconvnet_reference_architecture_trains():
+    """AZConvNet is the reference TF1 model's architecture spec
+    (connect_four_net.py:20-112 — 4x conv3x3 SAME/SAME/VALID/VALID + BN +
+    dense 1024/512 + dropout + pi/v heads): forward shapes, dropout rng
+    path and one finite train step."""
+    from alphazero_tpu.models import AZConvNet, make_flax_apply_fn
+    from alphazero_tpu.models.nets import init_flax_model
+
+    game = ConnectFour()
+    model = AZConvNet(num_actions=game.num_actions, channels=32)
+    variables = init_flax_model(model, jax.random.key(0), game.feature_shape)
+    apply_fn = make_flax_apply_fn(model)
+    feats = jnp.zeros((4,) + game.feature_shape, jnp.float32)
+    logits, v = apply_fn(variables, feats)
+    assert logits.shape == (4, game.num_actions) and v.shape == (4,)
+
+    tcfg = TrainConfig(batch_size=8, steps_per_iteration=1)
+    state = init_train_state(model, jax.random.key(1), game.feature_shape, tcfg)
+    step = jax.jit(make_train_step(model, tcfg))
+    f = jax.random.normal(jax.random.key(2), (8,) + game.feature_shape)
+    pi_t = jnp.full((8, game.num_actions), 1.0 / game.num_actions)
+    v_t = jnp.zeros((8,))
+    state2, metrics = step(state, f, pi_t, v_t, jax.random.key(3))
+    assert np.isfinite(float(metrics.loss))
+    # dropout + BN actually engaged (batch_stats updated)
+    bs0 = jax.tree_util.tree_leaves(state.batch_stats)
+    bs1 = jax.tree_util.tree_leaves(state2.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(bs0, bs1)
+    )
