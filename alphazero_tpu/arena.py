@@ -78,8 +78,11 @@ def make_arena_fn(
         p_cand, p_inc, cand_to_move = params
         lc, vc = apply_cand(p_cand, feats)
         li, vi = apply_inc(p_inc, feats)
-        sel = cand_to_move[:, None]
-        return jnp.where(sel, lc, li), jnp.where(cand_to_move, vc, vi)
+        # the hybrid engine's parallel_sims=K rounds evaluate K*B leaf
+        # boards stacked K-major (hybrid.py _run_rounds: bd.reshape(K*B, L)),
+        # so the per-game row select tiles whole-array K times
+        sel = jnp.tile(cand_to_move, feats.shape[0] // cand_to_move.shape[0])
+        return jnp.where(sel[:, None], lc, li), jnp.where(sel, vc, vi)
 
     # fused path: when BOTH models can evaluate inside the Pallas kernel,
     # search each side's trees with its own fused call and row-select the

@@ -35,7 +35,12 @@ from alphazero_tpu.arena import gate, make_arena_fn
 from alphazero_tpu.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from alphazero_tpu.config import AZConfig, MCTSConfig
 from alphazero_tpu.models.nets import make_flax_apply_fn
-from alphazero_tpu.replay import replay_init, replay_insert, replay_sample
+from alphazero_tpu.replay import (
+    replay_init,
+    replay_insert,
+    replay_sample,
+    replay_total,
+)
 from alphazero_tpu.selfplay import make_selfplay_fn
 from alphazero_tpu.train import TrainState, init_train_state, make_train_step, variables_of
 from alphazero_tpu.utils import EloTracker, MetricsLogger, PhaseTimer
@@ -285,11 +290,15 @@ class Coach:
         )
         self._selfplay_ran = True
         selfplay_moves = 0
+        selfplay_truncated = 0
         if not skip_sp:
             with self.timer.phase("selfplay"):
                 traj, stats = self._selfplay(variables_of(self.incumbent), k_sp)
                 jax.block_until_ready(traj.features)
             selfplay_moves = int(jnp.sum(stats.num_moves))
+            # games that hit max_moves unfinished: their samples are masked
+            # out by selfplay (no outcome to train on) — surface the count
+            selfplay_truncated = int(jnp.sum(~stats.done))
             with self.timer.phase("replay_insert"):
                 self.replay = self._insert(self.replay, traj)
                 jax.block_until_ready(self.replay.pos)
@@ -340,8 +349,9 @@ class Coach:
             "loss_first": float(losses[0]),
             "loss_last": float(losses[-1]),
             "replay_size": int(self.replay.size),
-            "replay_total": int(self.replay.total),
+            "replay_total": replay_total(self.replay),
             "selfplay_moves": selfplay_moves,
+            "selfplay_truncated": selfplay_truncated,
             **({"anchor_win_rate": round(anchor, 4)} if anchor is not None else {}),
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }

@@ -24,13 +24,25 @@ from alphazero_tpu.config import ReplayConfig
 from alphazero_tpu.selfplay import Trajectory
 
 
+_LIMB_BITS = 30  # total = hi * 2^30 + lo; both limbs stay far from i32 range
+
+
 class ReplayState(NamedTuple):
     features: jax.Array  # f32[Cap, ...feature_shape]
     pi: jax.Array        # f32[Cap, A]
     value: jax.Array     # f32[Cap]
     pos: jax.Array       # i32[] next write slot
     size: jax.Array      # i32[] live sample count (<= Cap)
-    total: jax.Array     # i64-ish i32[] lifetime samples (diagnostics)
+    total: jax.Array     # i32[2] lifetime samples as (hi, lo) base-2^30
+    #                      limbs — a week-long multi-chip run exceeds i32,
+    #                      and JAX's default 32-bit mode silently downgrades
+    #                      int64, so the wide counter is kept in two limbs
+
+
+def replay_total(replay: ReplayState) -> int:
+    """Lifetime inserted-sample count as a Python int."""
+    hi, lo = (int(x) for x in replay.total)
+    return (hi << _LIMB_BITS) | lo
 
 
 def replay_init(game, cfg: ReplayConfig) -> ReplayState:
@@ -41,7 +53,7 @@ def replay_init(game, cfg: ReplayConfig) -> ReplayState:
         value=jnp.zeros((cap,), jnp.float32),
         pos=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
-        total=jnp.zeros((), jnp.int32),
+        total=jnp.zeros((2,), jnp.int32),
     )
 
 
@@ -72,13 +84,17 @@ def replay_insert(
     idx = jnp.where(valid, (replay.pos + offs) % cap, cap)  # cap -> dropped
     num = valid.sum().astype(jnp.int32)
 
+    lo = replay.total[1] + num
+    total = jnp.stack(
+        [replay.total[0] + (lo >> _LIMB_BITS), lo & ((1 << _LIMB_BITS) - 1)]
+    )
     return ReplayState(
         features=replay.features.at[idx].set(feats, mode="drop"),
         pi=replay.pi.at[idx].set(pis, mode="drop"),
         value=replay.value.at[idx].set(vals, mode="drop"),
         pos=(replay.pos + num) % cap,
         size=jnp.minimum(replay.size + num, cap),
-        total=replay.total + num,
+        total=total,
     )
 
 

@@ -150,9 +150,13 @@ def make_selfplay_fn(
         t_idx = jnp.arange(T)[:, None]
         dist = moves[None, :] - t_idx
         sign = jnp.where(dist % 2 == 1, -1.0, 1.0)
-        # unfinished games (hit max_moves without terminal): value 0
-        z = jnp.where(done, outcome, 0.0)
-        value = sign * z[None, :] * valid
+        # games that hit max_moves without terminating have NO outcome to
+        # walk back — mask their samples entirely instead of training the
+        # value head toward a fake 0 (the reference only ever assigned
+        # outcomes to finished games, coach.rs:144-155; truncation count is
+        # visible as ~stats.done)
+        valid = valid & done[None, :]
+        value = sign * outcome[None, :] * valid
 
         traj = Trajectory(features=feats, pi=pis, value=value, valid=valid)
         return traj, SelfPlayStats(outcome=outcome, num_moves=moves, done=done)

@@ -16,6 +16,7 @@ from alphazero_tpu.config import (
     TrainConfig,
 )
 from alphazero_tpu.games import ConnectFour
+from alphazero_tpu.replay import replay_total
 from alphazero_tpu.models import MLPNet
 
 
@@ -66,12 +67,12 @@ def test_checkpoint_resume_roundtrip(tmp_path):
     coach.learn(2)
     saved_params = jax.tree_util.tree_leaves(coach.incumbent.params)
     saved_iter, saved_mid = coach.iteration, coach.model_id
-    saved_replay_total = int(coach.replay.total)
+    saved_replay_total = replay_total(coach.replay)
 
     resumed = make_coach(tmp_path, seed=2)
     assert resumed.iteration == saved_iter
     assert resumed.model_id == saved_mid
-    assert int(resumed.replay.total) == saved_replay_total
+    assert replay_total(resumed.replay) == saved_replay_total
     for a, b in zip(saved_params, jax.tree_util.tree_leaves(resumed.incumbent.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # resumed coach keeps training without error
@@ -126,7 +127,7 @@ def test_skip_first_selfplay(tmp_path):
 
     coach = make_coach(tmp_path, seed=5)
     coach.learn(1)
-    total_before = int(coach.replay.total)
+    total_before = replay_total(coach.replay)
 
     game = ConnectFour()
     model = MLPNet(num_actions=game.num_actions, hidden=(32,))
@@ -134,7 +135,7 @@ def test_skip_first_selfplay(tmp_path):
     resumed = Coach(game, model, cfg)
     rec = resumed.run_iteration()
     assert rec["selfplay_moves"] == 0          # no new games
-    assert int(resumed.replay.total) == total_before
+    assert replay_total(resumed.replay) == total_before
     assert np.isfinite(rec["loss_last"])       # trained on restored replay
     rec2 = resumed.run_iteration()
     assert rec2["selfplay_moves"] > 0          # second iteration plays again

@@ -104,11 +104,15 @@ def test_hybrid_gating():
 
 def test_arena_hybrid_matches_xla_engine():
     """The arena's hybrid branch (combined two-model forward between the
-    kernels) produces the same result as its XLA-engine branch."""
+    kernels) produces the same result as its XLA-engine branch.
+
+    Uses a CONV model: MLP apply_fns carry kernel_eval_factory, which
+    routes the arena through its fused branch instead — a conv net is the
+    model class whose arena games actually run the hybrid branch."""
     from alphazero_tpu.arena import make_arena_fn
 
     game = ConnectFour()
-    model = MLPNet(num_actions=game.num_actions, hidden=(16,))
+    model = AZResNet(num_actions=game.num_actions, channels=8, blocks=1)
     apply_fn = make_flax_apply_fn(model)
     p_cand = init_flax_model(model, jax.random.key(1), game.feature_shape)
     p_inc = init_flax_model(model, jax.random.key(2), game.feature_shape)
@@ -122,6 +126,27 @@ def test_arena_hybrid_matches_xla_engine():
     r_xla = play_xla(p_cand, p_inc, key)
     r_hyb = play_hyb(p_cand, p_inc, key)
     assert tuple(map(int, r_xla)) == tuple(map(int, r_hyb))
+
+
+def test_arena_hybrid_parallel_sims():
+    """Regression: the arena hybrid branch with parallel_sims=K>1 evaluates
+    K*B leaf rows per round — the combined two-model forward must tile its
+    per-game row select to match (crashed at trace time before)."""
+    from alphazero_tpu.arena import make_arena_fn
+
+    game = ConnectFour()
+    model = AZResNet(num_actions=game.num_actions, channels=8, blocks=1)
+    apply_fn = make_flax_apply_fn(model)
+    p_cand = init_flax_model(model, jax.random.key(1), game.feature_shape)
+    p_inc = init_flax_model(model, jax.random.key(2), game.feature_shape)
+    cfg = MCTSConfig(num_sims=8, max_depth=48, parallel_sims=2)
+
+    play = make_arena_fn(
+        game, apply_fn, apply_fn, cfg, num_games=4, max_moves=8, block_size=4
+    )
+    r = play(p_cand, p_inc, jax.random.key(9))
+    total = int(r.cand_wins) + int(r.inc_wins) + int(r.draws) + int(r.unfinished)
+    assert total == 4
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ import numpy as np
 from alphazero_tpu.config import MCTSConfig, ReplayConfig, SelfPlayConfig, TrainConfig
 from alphazero_tpu.games import ConnectFour
 from alphazero_tpu.models import AZResNet, MLPNet, make_uniform_model
-from alphazero_tpu.replay import replay_init, replay_insert, replay_sample
+from alphazero_tpu.replay import replay_init, replay_insert, replay_sample, replay_total
 from alphazero_tpu.selfplay import Trajectory, make_selfplay_fn
 from alphazero_tpu.train import init_train_state, make_train_step, variables_of
 
@@ -38,7 +38,7 @@ def test_replay_insert_counts_and_symmetry_expansion():
     # 5 valid samples × 2 symmetries
     assert int(replay.size) == 10
     assert int(replay.pos) == 10
-    assert int(replay.total) == 10
+    assert replay_total(replay) == 10
     # mirrored sample sits right after its identity twin
     f = np.asarray(replay.features)
     np.testing.assert_array_equal(f[1], f[0][:, ::-1, :])
@@ -53,7 +53,7 @@ def test_replay_ring_wrap():
     for seed in range(3):
         replay = replay_insert(replay, G, tiny_traj(seed=seed))
     assert int(replay.size) == 8
-    assert int(replay.total) == 30
+    assert replay_total(replay) == 30
     assert int(replay.pos) == 30 % 8
 
 
