@@ -34,13 +34,17 @@ def _ckpt_path(directory: str, step: int) -> str:
 def save_checkpoint(
     directory: str, step: int, payload: Any, sidecar: Optional[dict] = None
 ) -> str:
-    """Save a pytree payload as checkpoint ``step`` (+ JSON sidecar)."""
-    os.makedirs(directory, exist_ok=True)
+    """Save a pytree payload as checkpoint ``step`` (+ JSON sidecar).
+
+    Multi-controller: every process calls this (Orbax coordinates the
+    distributed array save); the JSON sidecar is written by process 0."""
+    if jax.process_index() == 0:
+        os.makedirs(directory, exist_ok=True)
     path = _ckpt_path(directory, step)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
-    if sidecar is not None:
+    if sidecar is not None and jax.process_index() == 0:
         with open(path + ".json", "w") as f:
             json.dump(sidecar, f)
     return path
@@ -66,12 +70,23 @@ def restore_checkpoint(
 
     ``partial=True`` restores only the subtrees present in ``template``
     (e.g. just the incumbent params for inference/play tools, skipping the
-    replay buffer)."""
+    replay buffer).
+
+    Template leaves that are committed ``jax.Array``s carry their sharding
+    into the restore: a mesh-sharded Coach resumes with every leaf placed
+    exactly where ``__init__`` put it (no unsafe host-side restore +
+    implicit replication — required for multi-chip/multi-host resume)."""
     path = _ckpt_path(directory, step)
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
-        template,
-    )
+
+    def abstractify(x):
+        sharding = None
+        if isinstance(x, jax.Array) and getattr(x, "committed", False):
+            sharding = x.sharding
+        return jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.asarray(x).dtype, sharding=sharding
+        )
+
+    abstract = jax.tree_util.tree_map(abstractify, template)
     if partial:
         ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
         payload = ckptr.restore(

@@ -83,12 +83,11 @@ class Coach:
 
         apply_fn = make_flax_apply_fn(model)
 
-        # live state (created first: the mesh shardings below need shapes)
         self.rng = jax.random.key(cfg.seed)
-        self.incumbent = init_train_state(
+        init_state_fn = lambda: init_train_state(
             model, jax.random.key(cfg.seed + 1), game.feature_shape, cfg.train
         )
-        self.replay = replay_init(game, cfg.replay)
+        init_replay_fn = lambda: replay_init(game, cfg.replay)
 
         sp_fn = make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh)
         insert_fn = lambda r, t: replay_insert(r, game, t)
@@ -102,6 +101,8 @@ class Coach:
         )
 
         if mesh is None:
+            self.incumbent = init_state_fn()
+            self.replay = init_replay_fn()
             self._selfplay = jax.jit(sp_fn)
             self._insert = jax.jit(insert_fn)
             self._train_phase = jax.jit(train_fn)
@@ -116,11 +117,12 @@ class Coach:
             data_b = NamedSharding(mesh, P("data"))         # [B/Cap, ...]
             repl = NamedSharding(mesh, P())
 
+            state_sd = jax.eval_shape(init_state_fn)
             tstate_sh = TrainState(
-                params=param_shardings(mesh, self.incumbent.params),
-                batch_stats=param_shardings(mesh, self.incumbent.batch_stats),
+                params=param_shardings(mesh, state_sd.params),
+                batch_stats=param_shardings(mesh, state_sd.batch_stats),
                 opt_state=jax.tree_util.tree_map(
-                    lambda _: repl, self.incumbent.opt_state
+                    lambda _: repl, state_sd.opt_state
                 ),
                 step=repl,
             )
@@ -128,12 +130,12 @@ class Coach:
                 features=data_b, pi=data_b, value=data_b,
                 pos=repl, size=repl, total=repl,
             )
-            self.incumbent = jax.tree_util.tree_map(
-                jax.device_put, self.incumbent, tstate_sh
-            )
-            self.replay = jax.tree_util.tree_map(
-                jax.device_put, self.replay, replay_sh
-            )
+            # jit-create the live state directly under its shardings: the
+            # outputs are global arrays, which makes the same code correct
+            # under multi-controller jax.distributed (a host-side
+            # device_put of process-local arrays would not be)
+            self.incumbent = jax.jit(init_state_fn, out_shardings=tstate_sh)()
+            self.replay = jax.jit(init_replay_fn, out_shardings=replay_sh)()
 
             traj_sd, stats_sd = jax.eval_shape(
                 sp_fn, variables_of(self.incumbent), jax.random.key(0)
@@ -177,6 +179,12 @@ class Coach:
                     mesh=mesh,
                 )
             )
+        # host-visible scalars out of sharded stats must come through a jit
+        # (fully-replicated outputs): host-side jnp.sum over a sharded
+        # global array is not addressable under multi-controller
+        self._stats_reduce = jax.jit(
+            lambda nm, dn: (jnp.sum(nm), jnp.sum(~dn))
+        )
         self.iteration = 0
         self.model_id = 0
         self._selfplay_ran = False
@@ -188,7 +196,11 @@ class Coach:
         # twin of the reference's `{iteration}.examples` files
         # (coach.rs:159-167); requires the C++ toolchain.
         self.example_store = None
-        if cfg.checkpoint_dir:
+        if cfg.checkpoint_dir and jax.process_count() == 1:
+            # (multi-controller runs skip the host archive: it would need a
+            # cross-process gather of the sharded trajectory; the Orbax
+            # whole-state checkpoint — which includes the replay — is the
+            # durable record there)
             try:
                 from alphazero_tpu import native
 
@@ -208,10 +220,17 @@ class Coach:
 
     # ------------------------------------------------------------------
     def _payload(self):
+        rng_data = jax.random.key_data(self.rng)
+        if self.mesh is not None:
+            # the key evolves host-side (identical on every controller);
+            # checkpointing needs the one global replicated view of it
+            from alphazero_tpu.parallel import replicate_host_value
+
+            rng_data = replicate_host_value(rng_data, self.mesh)
         return {
             "incumbent": self.incumbent._asdict(),
             "replay": self.replay._asdict(),
-            "rng": jax.random.key_data(self.rng),
+            "rng": rng_data,
         }
 
     def _maybe_resume(self) -> None:
@@ -295,10 +314,11 @@ class Coach:
             with self.timer.phase("selfplay"):
                 traj, stats = self._selfplay(variables_of(self.incumbent), k_sp)
                 jax.block_until_ready(traj.features)
-            selfplay_moves = int(jnp.sum(stats.num_moves))
+            moves_sum, trunc_sum = self._stats_reduce(stats.num_moves, stats.done)
+            selfplay_moves = int(moves_sum)
             # games that hit max_moves unfinished: their samples are masked
             # out by selfplay (no outcome to train on) — surface the count
-            selfplay_truncated = int(jnp.sum(~stats.done))
+            selfplay_truncated = int(trunc_sum)
             with self.timer.phase("replay_insert"):
                 self.replay = self._insert(self.replay, traj)
                 jax.block_until_ready(self.replay.pos)

@@ -1,3 +1,9 @@
+from alphazero_tpu.parallel.distributed import (
+    initialize,
+    is_primary,
+    primary_only,
+    replicate_host_value,
+)
 from alphazero_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -12,4 +18,8 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_batch",
+    "initialize",
+    "is_primary",
+    "primary_only",
+    "replicate_host_value",
 ]

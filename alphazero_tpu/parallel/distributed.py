@@ -1,0 +1,91 @@
+"""Multi-controller (multi-host) execution.
+
+The reference's transport layer is in-process crossbeam channels
+(reference: src/async_mcts.rs:22-23, 117-189) — its "hosts" are threads in
+one address space. The TPU-native replacement (SURVEY.md §5 "Distributed
+communication backend") is multi-controller JAX: every host runs the SAME
+Coach program under ``jax.distributed.initialize``, the device mesh spans
+all hosts, and XLA's collectives (gradient ``psum`` on the ``data`` axis)
+ride ICI within a slice and DCN across slices. There is no message-passing
+code to write: the jitted phases are already global-SPMD programs, so
+multi-host is the single-controller code executed by N controllers.
+
+What this module adds is the (small) host-side protocol around that:
+
+* :func:`initialize` — process bring-up: wire the coordinator, optionally
+  force a platform and virtual CPU device count (for testing a "multi-host"
+  topology on one machine — the same mechanism the test suite uses for the
+  virtual 8-device mesh, SURVEY.md §4).
+* :func:`is_primary` / :func:`primary_only` — the process-0 gate for
+  host-side side effects (metrics JSONL, checkpoint sidecars, progress
+  printing). Device-side state needs no gating: it is global and identical
+  by construction.
+* :func:`replicate_host_value` — lift a host-local (assumed
+  process-identical) array into a fully-replicated global array so it can
+  participate in multiprocess checkpointing.
+
+Tested by tests/test_multihost.py: two OS processes x 4 virtual CPU
+devices each form one 8-device mesh and must reproduce the single-process
+Coach iteration exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+
+
+def initialize(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    platform: Optional[str] = None,
+    host_device_count: Optional[int] = None,
+) -> None:
+    """Bring up this controller and join the multi-process runtime.
+
+    Must run before any JAX computation. ``platform="cpu"`` +
+    ``host_device_count=K`` gives this process K virtual CPU devices —
+    the single-machine simulation of a K-chip host (the driver's
+    ``xla_force_host_platform_device_count`` mechanism).
+    """
+    if host_device_count is not None:
+        jax.config.update("jax_num_cpu_devices", host_device_count)
+    if platform is not None:
+        jax.config.update("jax_platforms", platform)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side side effects (metrics,
+    sidecars, stdout)."""
+    return jax.process_index() == 0
+
+
+def primary_only(fn):
+    """Decorator: run ``fn`` only on process 0 (returns None elsewhere)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if is_primary():
+            return fn(*args, **kwargs)
+        return None
+
+    return wrapped
+
+
+def replicate_host_value(x: Any, mesh) -> jax.Array:
+    """Lift a host-local array (identical on every process, e.g. the PRNG
+    key state) into a fully-replicated global array on ``mesh`` so that
+    multiprocess checkpointing sees one global view."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.jit(
+        lambda v: v, out_shardings=NamedSharding(mesh, P())
+    )(x)

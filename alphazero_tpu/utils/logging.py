@@ -22,7 +22,12 @@ logger = logging.getLogger("alphazero_tpu")
 class MetricsLogger:
     def __init__(self, out_dir: Optional[str] = None, filename: str = "metrics.jsonl"):
         self.path = None
-        if out_dir:
+        # multi-controller runs: every process computes identical records
+        # (they are reductions of replicated arrays); only process 0 owns
+        # the JSONL file
+        import jax
+
+        if out_dir and jax.process_index() == 0:
             os.makedirs(out_dir, exist_ok=True)
             self.path = os.path.join(out_dir, filename)
 
