@@ -46,6 +46,12 @@ from alphazero_tpu.train import TrainState, init_train_state, make_train_step, v
 from alphazero_tpu.utils import EloTracker, MetricsLogger, PhaseTimer
 
 
+def _gen_key(k):
+    """JSON round-trip for match-graph player keys (int generation ids or
+    the literal 'anchor')."""
+    return k if k == "anchor" else int(k)
+
+
 def make_train_phase(model, tcfg, steps: int):
     """Whole training phase under one jit: scan over minibatch steps, each
     sampling the (device-resident) replay with its own key."""
@@ -189,6 +195,12 @@ class Coach:
         self.model_id = 0
         self._selfplay_ran = False
         self.elo = EloTracker()
+        # anchored-rating state: pool of past-generation variable
+        # snapshots + the accumulated match graph (vs pool and vs the
+        # fixed pure-MCTS anchor, pinned at Elo 0 by fit_elo)
+        self.pool = []           # [(model_id, variables)]
+        self.pool_matches = []   # [{a, b, wins_a, wins_b, draws}]
+        self.anchored_ratings = {}
         self.metrics = MetricsLogger(cfg.checkpoint_dir)
         self.timer = PhaseTimer()
 
@@ -253,6 +265,14 @@ class Coach:
             self.elo.ratings.update(
                 {int(k): v for k, v in sidecar.get("elo_ratings", {}).items()}
             )
+            self.pool_matches = [
+                {**m, "a": _gen_key(m["a"]), "b": _gen_key(m["b"])}
+                for m in sidecar.get("pool_matches", [])
+            ]
+            if self.pool_matches:
+                from alphazero_tpu.utils.elo import fit_elo
+
+                self.anchored_ratings = fit_elo(self.pool_matches, "anchor", 0.0)
         else:
             self.iteration = step
 
@@ -285,6 +305,10 @@ class Coach:
                 "model_id": self.model_id,
                 "elo_history": self.elo.history,
                 "elo_ratings": self.elo.ratings,
+                # anchored-rating match graph persists across restarts
+                # (the pool's params do not — it repopulates at the next
+                # anchor passes; history keeps the fit comparable)
+                "pool_matches": self.pool_matches,
             },
         )
 
@@ -343,18 +367,12 @@ class Coach:
 
         self.iteration += 1
         anchor = None
+        anchored_elo = None
         if (
             self._anchor_arena is not None
             and self.iteration % cfg.arena.anchor_interval == 0
         ):
-            (k_anchor,) = self._split(1)
-            with self.timer.phase("anchor"):
-                ar = self._anchor_arena(
-                    variables_of(self.incumbent), {}, k_anchor
-                )
-                jax.block_until_ready(ar.cand_wins)
-            aw, al = int(ar.cand_wins), int(ar.inc_wins)
-            anchor = aw / max(aw + al, 1)
+            anchor, anchored_elo = self._anchored_rating_pass()
 
         phases = self.timer.reset()
         record = {
@@ -373,12 +391,82 @@ class Coach:
             "selfplay_moves": selfplay_moves,
             "selfplay_truncated": selfplay_truncated,
             **({"anchor_win_rate": round(anchor, 4)} if anchor is not None else {}),
+            **(
+                {"anchored_elo": round(anchored_elo, 2)}
+                if anchored_elo is not None
+                else {}
+            ),
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }
         self.metrics.log(record)
         if self.iteration % max(self.cfg.checkpoint_interval, 1) == 0:
             self.save()
         return record
+
+    def _anchored_rating_pass(self):
+        """Anchored Elo: play the incumbent vs the fixed pure-MCTS anchor
+        and vs every pool snapshot, refit the full match graph (anchor
+        pinned at 0), then snapshot the incumbent into the pool.
+
+        Unlike the per-gate EloTracker ladder (whose ratings chain off
+        each accepted gate and only ratchet upward), these ratings are a
+        maximum-likelihood fit of ALL recorded matches against fixed and
+        past opponents — they can go down, and they are comparable across
+        the whole run."""
+        from alphazero_tpu.utils.elo import fit_elo
+
+        me = self.model_id
+        inc_vars = variables_of(self.incumbent)
+
+        (k_anchor,) = self._split(1)
+        with self.timer.phase("anchor"):
+            ar = self._anchor_arena(inc_vars, {}, k_anchor)
+            jax.block_until_ready(ar.cand_wins)
+        aw, al, ad = int(ar.cand_wins), int(ar.inc_wins), int(ar.draws)
+        anchor_wr = aw / max(aw + al, 1)
+        self.pool_matches.append(
+            {"a": me, "b": "anchor", "wins_a": aw, "wins_b": al, "draws": ad}
+        )
+
+        for gen_id, snap_vars in self.pool:
+            if gen_id == me:
+                continue
+            (k_m,) = self._split(1)
+            with self.timer.phase("anchor"):
+                pr = self._arena(inc_vars, snap_vars, k_m)
+                jax.block_until_ready(pr.cand_wins)
+            self.pool_matches.append(
+                {
+                    "a": me,
+                    "b": gen_id,
+                    "wins_a": int(pr.cand_wins),
+                    "wins_b": int(pr.inc_wins),
+                    "draws": int(pr.draws),
+                }
+            )
+
+        self.anchored_ratings = fit_elo(self.pool_matches, "anchor", 0.0)
+        self._pool_insert(me, inc_vars)
+        return anchor_wr, self.anchored_ratings.get(me)
+
+    def _pool_insert(self, gen_id, snap_vars) -> None:
+        """Keep the newest snapshot; evict toward evenly spaced
+        generations (drop the member whose neighbors are closest, never
+        the newest)."""
+        self.pool = [(g, v) for g, v in self.pool if g != gen_id]
+        self.pool.append((gen_id, snap_vars))
+        self.pool.sort(key=lambda t: t[0])
+        limit = max(self.cfg.arena.pool_size, 1)
+        while len(self.pool) > limit:
+            gens = [g for g, _ in self.pool]
+            # gap around each evictable member (all but the newest)
+            best_i, best_gap = 0, None
+            for i in range(len(gens) - 1):
+                lo = gens[i - 1] if i > 0 else 2 * gens[0] - gens[1]
+                gap = gens[i + 1] - lo
+                if best_gap is None or gap < best_gap:
+                    best_i, best_gap = i, gap
+            del self.pool[best_i]
 
     def learn(self, num_iterations: Optional[int] = None):
         """The outer loop (Coach::learn, coach.rs:169-396)."""

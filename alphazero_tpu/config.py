@@ -111,12 +111,21 @@ class ArenaConfig:
     #                              incumbent-with-search while still
     #                              improving against each other.
     num_sims: Optional[int] = None  # arena search budget; defaults to MCTS's
-    anchor_interval: Optional[int] = None  # every k iterations, also play
-    #                              the incumbent against the FIXED pure-MCTS
-    #                              anchor (uniform prior, same sims) and log
-    #                              anchor_win_rate — an absolute strength
-    #                              reference alongside the relative
-    #                              candidate-vs-incumbent Elo ladder.
+    anchor_interval: Optional[int] = None  # every k iterations, run the
+    #                              ANCHORED RATING pass: play the incumbent
+    #                              against the FIXED pure-MCTS anchor
+    #                              (uniform prior, same sims) and against
+    #                              every pool snapshot, refit the whole
+    #                              match graph with fit_elo (anchor pinned
+    #                              at 0), log anchor_win_rate +
+    #                              anchored_elo, then snapshot the
+    #                              incumbent into the pool. These are the
+    #                              headline ratings; the per-gate
+    #                              EloTracker ladder is only a diagnostic.
+    pool_size: int = 5           # max past-generation snapshots kept for
+    #                              anchored rating matches (evicted to
+    #                              keep generations roughly evenly spaced,
+    #                              newest always kept)
 
 
 @dataclasses.dataclass(frozen=True)

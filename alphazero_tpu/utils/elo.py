@@ -1,14 +1,25 @@
-"""Elo rating curve over gated model generations.
+"""Elo ratings over model generations.
 
 The reference reports only raw arena win counts (reference:
 src/coach.rs:376-381 info! of the Counter). BASELINE config 5 asks for a
-full Elo curve, so gating results feed an incremental rating tracker here.
+full Elo curve. Two mechanisms live here:
+
+* :class:`EloTracker` — the incremental per-gate ladder (candidate rating
+  chained off the incumbent's from one match). Cheap, but
+  self-referential: ratings only ever ratchet upward off each accepted
+  gate, so the ladder is a per-gate DIAGNOSTIC, not a strength claim.
+* :func:`fit_elo` — anchored maximum-likelihood ratings over a match
+  graph (Bradley-Terry / logistic model, minorization-maximization
+  updates) with one player pinned at a fixed rating. The Coach plays the
+  incumbent against a pool of past-generation snapshots plus the FIXED
+  pure-MCTS anchor and refits the whole curve from the accumulated match
+  history — the headline Elo numbers come from this.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import Dict, Iterable, List, Tuple
 
 
 def elo_from_match(
@@ -56,3 +67,83 @@ class EloTracker:
 
     def curve(self) -> List[tuple]:
         return sorted(self.ratings.items())
+
+
+# ---------------------------------------------------------------------------
+# Anchored maximum-likelihood ratings (Bradley-Terry MM with a pinned anchor)
+# ---------------------------------------------------------------------------
+
+_ELO_SCALE = 400.0 / math.log(10.0)  # rating = _ELO_SCALE * ln(strength)
+
+
+def fit_elo(
+    matches: Iterable[dict],
+    anchor: object,
+    anchor_rating: float = 0.0,
+    iters: int = 500,
+    tol: float = 1e-9,
+) -> Dict[object, float]:
+    """Anchored ML Elo over a match graph.
+
+    ``matches``: records with keys ``a``, ``b``, ``wins_a``, ``wins_b``,
+    ``draws`` (draws count as half a win each way). Fits the Bradley-Terry
+    model P(a beats b) = s_a / (s_a + s_b) by minorization-maximization
+    (Hunter 2004), then translates log-strengths to the Elo scale with
+    ``anchor`` pinned at ``anchor_rating``. Players unreachable from any
+    match get no rating. A half-game virtual draw against the anchor
+    regularizes players with sweep-only records (otherwise their MLE
+    strength diverges).
+    """
+    # aggregate pairwise win matrix
+    wins: Dict[Tuple[object, object], float] = {}
+    players: List[object] = []
+
+    def add(i, j, w):
+        if w <= 0:
+            return
+        wins[(i, j)] = wins.get((i, j), 0.0) + w
+
+    seen = set()
+    for m in matches:
+        a, b = m["a"], m["b"]
+        for p in (a, b):
+            if p not in seen:
+                seen.add(p)
+                players.append(p)
+        add(a, b, m["wins_a"] + 0.5 * m["draws"])
+        add(b, a, m["wins_b"] + 0.5 * m["draws"])
+    if anchor not in seen:
+        seen.add(anchor)
+        players.append(anchor)
+    # virtual half-draw vs the anchor: keeps every player's MLE finite
+    for p in players:
+        if p != anchor:
+            add(p, anchor, 0.25)
+            add(anchor, p, 0.25)
+
+    s = {p: 1.0 for p in players}
+    for _ in range(iters):
+        delta = 0.0
+        new_s = {}
+        for p in players:
+            w_total = sum(w for (i, _), w in wins.items() if i == p)
+            denom = 0.0
+            for q in players:
+                if q == p:
+                    continue
+                n_pq = wins.get((p, q), 0.0) + wins.get((q, p), 0.0)
+                if n_pq > 0:
+                    denom += n_pq / (s[p] + s[q])
+            new_s[p] = w_total / denom if denom > 0 else s[p]
+        # renormalize to the anchor each sweep (fixes the gauge freedom)
+        scale = new_s[anchor]
+        for p in players:
+            new_s[p] /= scale
+            delta = max(delta, abs(new_s[p] - s[p]))
+            s[p] = new_s[p]
+        if delta < tol:
+            break
+
+    return {
+        p: anchor_rating + _ELO_SCALE * math.log(s[p]) for p in players
+    }

@@ -181,3 +181,74 @@ def test_anchor_arena_logged(tmp_path):
     r2 = coach.run_iteration()
     assert "anchor_win_rate" not in r1
     assert 0.0 <= r2["anchor_win_rate"] <= 1.0
+
+
+def test_fit_elo_anchored_ml():
+    """fit_elo: anchored Bradley-Terry maximum likelihood — 75% score is
+    ~+191 Elo, ratings are transitive, sweeps stay finite, the anchor is
+    pinned, and ratings can DECREASE (unlike the ladder)."""
+    from alphazero_tpu.utils.elo import fit_elo
+
+    r = fit_elo(
+        [{"a": 1, "b": "anchor", "wins_a": 75, "wins_b": 25, "draws": 0}],
+        "anchor",
+    )
+    assert r["anchor"] == 0.0
+    assert 160 < r[1] < 200
+    # add a crushing loss for 1 against a weak newcomer: 1's rating drops
+    r2 = fit_elo(
+        [
+            {"a": 1, "b": "anchor", "wins_a": 75, "wins_b": 25, "draws": 0},
+            {"a": 2, "b": "anchor", "wins_a": 25, "wins_b": 75, "draws": 0},
+            {"a": 1, "b": 2, "wins_a": 5, "wins_b": 95, "draws": 0},
+        ],
+        "anchor",
+    )
+    assert r2[1] < r[1]
+    # sweep stays finite (virtual half-draw regularizer)
+    r3 = fit_elo(
+        [{"a": 3, "b": "anchor", "wins_a": 10, "wins_b": 0, "draws": 0}],
+        "anchor",
+    )
+    assert np.isfinite(r3[3]) and r3[3] > 300
+
+
+def test_anchored_rating_pass(tmp_path):
+    """Every anchor_interval iterations the coach plays the pure-MCTS
+    anchor + the snapshot pool, refits anchored Elo, and persists the
+    match graph across resume."""
+    import dataclasses
+
+    game = ConnectFour()
+    cfg = dataclasses.replace(
+        tiny_cfg(tmp_path, seed=9),
+        arena=ArenaConfig(
+            num_games=8,
+            update_threshold=None,  # continuous: model_id advances
+            num_sims=4,
+            anchor_interval=1,
+            pool_size=2,
+        ),
+    )
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    coach = Coach(game, model, cfg)
+    recs = coach.learn(3)
+    for rec in recs:
+        assert "anchor_win_rate" in rec
+        assert "anchored_elo" in rec and np.isfinite(rec["anchored_elo"])
+    # pool capped at pool_size, newest generation always kept
+    assert len(coach.pool) == 2
+    assert coach.pool[-1][0] == coach.model_id
+    # matches: one vs anchor per pass + pool matches from passes 2,3
+    assert sum(m["b"] == "anchor" for m in coach.pool_matches) == 3
+    assert any(m["b"] != "anchor" for m in coach.pool_matches)
+    n_matches = len(coach.pool_matches)
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    assert len(resumed.pool_matches) == n_matches
+    assert resumed.anchored_ratings.keys() == coach.anchored_ratings.keys()
+    # pool repopulates on the next pass after restart
+    assert resumed.pool == []
+    rec = resumed.run_iteration()
+    assert "anchored_elo" in rec
+    assert len(resumed.pool) == 1
