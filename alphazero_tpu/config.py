@@ -52,6 +52,17 @@ class MCTSConfig:
     #                              top-2 PUCT actions within a round).
     #                              num_sims must be divisible by K.
 
+    tree_reuse: bool = False     # carry the search tree across the moves of
+    #                              an episode (the reference's per-episode
+    #                              AsyncMcts persistence, coach.rs:104-157):
+    #                              after each move the played child's
+    #                              subtree is re-rooted (mcts/reuse.py) and
+    #                              the next search continues from its
+    #                              cumulative statistics. XLA engine only
+    #                              (the VMEM-resident kernels hold exactly
+    #                              one search's tree). Pair with max_nodes
+    #                              ~ 2*num_sims so carried subtrees fit.
+
     @property
     def nodes(self) -> int:
         return self.max_nodes if self.max_nodes is not None else self.num_sims + 1

@@ -225,7 +225,7 @@ def make_search_fn(
         new_valid = valid_v(new_state)
         new_done, new_tval = term_v(new_state)
 
-        s = tree.cursor  # scalar lockstep slot
+        s = tree.cursor  # i32[B] per-game slot (lockstep +1 per sim)
         exp_ok = sel["exp_mask"] & (s < C)
 
         # ---- EVALUATE: NN fused into the step (vs async_mcts.rs:305-315's
@@ -242,8 +242,10 @@ def make_search_fn(
         # surgery on the lane dim, which degrades to tile read-modify-write):
         # the slot-row install, the parent->child link and the backup add
         # below fuse into ONE pass over `stats`.
-        mask_slot = (lane_c == s)[None, None, None, :]          # [1,1,1,C]
-        write_mask = exp_ok[:, None, None, None] & mask_slot    # [B,1,1,C]
+        mask_slot = lane_c[None, :] == s[:, None]               # [B,C]
+        write_mask = (
+            exp_ok[:, None, None, None] & mask_slot[:, None, None, :]
+        )  # [B,1,1,C]
         new_row4 = jnp.stack(
             [
                 jnp.zeros_like(prior),
@@ -255,7 +257,7 @@ def make_search_fn(
         )  # [B, 4, A]
         stats = jnp.where(write_mask, new_row4[:, :, :, None], tree.stats)
 
-        node_mask = exp_ok[:, None, None] & (lane_c == s)[None, None, :]
+        node_mask = exp_ok[:, None, None] & mask_slot[:, None, :]
         new_info = jnp.stack([new_done.astype(jnp.float32), new_tval], axis=1)
         node = jnp.where(node_mask, new_info[:, :, None], tree.node)
 
@@ -279,7 +281,8 @@ def make_search_fn(
         # unexpanded slots hold exactly -1, so adding (code + 1) sets them.
         # (The backup-path lanes and the slot lane are disjoint from the
         # link's (parent, action) lane, so the fused adds commute.)
-        link_code = jnp.where(new_done, -2.0 - s.astype(jnp.float32), s.astype(jnp.float32))
+        s_f = s.astype(jnp.float32)
+        link_code = jnp.where(new_done, -2.0 - s_f, s_f)
         oh_a = (
             jnp.arange(A)[None, :] == sel["exp_action"][:, None]
         ).astype(jnp.float32)
@@ -361,4 +364,49 @@ def make_search_fn(
 
         return jax.lax.fori_loop(0, sims, lambda i, t: _simulate(params, t), tree)
 
+    def search_from(
+        params,
+        tree: Tree,
+        root_state: Any,
+        rng: Optional[jax.Array] = None,
+        reused: Optional[jax.Array] = None,
+        num_sims: Optional[int] = None,
+    ) -> Tree:
+        """Continue searching an EXISTING tree (the tree-reuse path,
+        reference coach.rs:104-157: one AsyncMcts per episode keeps its
+        statistics across moves and re-roots via lookup_state_id,
+        async_mcts.rs:81).
+
+        ``tree`` is a re-rooted (root = lane 0) or freshly-initialized
+        Tree over ``root_state``; ``reused`` flags the games whose root
+        already carries an installed prior from its original expansion —
+        those keep it (the reference never re-evaluated a reused root).
+        Fresh games get the NN root prior. With ``dirichlet_alpha`` set,
+        fresh noise is re-mixed into EVERY root each move (the standard
+        AlphaZero-with-reuse behavior; the base prior for reused roots is
+        their stored expansion prior)."""
+        import dataclasses as _dc
+
+        sims = cfg.num_sims if num_sims is None else num_sims
+        cfg_plain = _dc.replace(cfg, dirichlet_alpha=None)
+        base, root_valid = root_prior(
+            game, apply_fn, cfg_plain, params, root_state, None
+        )
+        if reused is not None:
+            stored = tree.stats[:, PLANE_P, :, 0]
+            stored_prior = jnp.where(stored > INVALID_P * 0.5, stored, 0.0)
+            base = jnp.where(reused[:, None], stored_prior, base)
+        if cfg.dirichlet_alpha is not None:
+            if rng is None:
+                raise ValueError("dirichlet noise requires an rng key")
+            noise = jax.random.dirichlet(
+                rng, jnp.full((A,), cfg.dirichlet_alpha), base.shape[:1]
+            )
+            noise = masked_policy(jnp.log(noise + 1e-12), root_valid)
+            base = (1.0 - cfg.dirichlet_frac) * base + cfg.dirichlet_frac * noise
+        p_masked = jnp.where(root_valid, base, INVALID_P)
+        tree = tree._replace(stats=tree.stats.at[:, PLANE_P, :, 0].set(p_masked))
+        return jax.lax.fori_loop(0, sims, lambda i, t: _simulate(params, t), tree)
+
+    search.from_tree = search_from
     return search

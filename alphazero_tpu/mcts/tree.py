@@ -73,7 +73,10 @@ class Tree(NamedTuple):
     node: jax.Array    # f32[B, 2, C]
     state: Any         # game-state pytree, leaves [B, L, C]
     count: jax.Array   # i32[B] materialized nodes per game
-    cursor: jax.Array  # i32[] lockstep slot cursor (root occupies slot 0)
+    cursor: jax.Array  # i32[B] next slot per game (root occupies slot 0;
+    #                    advances one slot per simulation in lockstep, but
+    #                    re-rooted trees carry different live prefixes, so
+    #                    the cursor is per-game)
 
     @property
     def batch_size(self) -> int:
@@ -172,5 +175,5 @@ def init_tree(game, root_state: Any, capacity: int) -> Tree:
         node=node,
         state=state,
         count=jnp.ones((B,), jnp.int32),
-        cursor=jnp.ones((), jnp.int32),
+        cursor=jnp.ones((B,), jnp.int32),
     )

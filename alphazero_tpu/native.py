@@ -193,3 +193,84 @@ def oracle_search(
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Transposition (DAG) oracle — SURVEY §7(c) quantification
+# ---------------------------------------------------------------------------
+_TT_GAMES = {"connect_four": (0, 42, 7), "othello": (1, 64, 65)}
+
+
+def _tt_lib():
+    lib = _load("azttoracle", "tt_oracle.cpp")
+    if lib is None:
+        return None
+    if not getattr(lib, "_configured", False):
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        fp = ctypes.POINTER(ctypes.c_float)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.az_tt_search.restype = ctypes.c_long
+        lib.az_tt_search.argtypes = [
+            ctypes.c_int, i8p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ctypes.c_int, fp,
+        ]
+        lib.az_tt_match.restype = None
+        lib.az_tt_match.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64, i32p,
+        ]
+        lib._configured = True
+    return lib
+
+
+def tt_oracle_search(
+    game_name: str,
+    board: np.ndarray,
+    num_sims: int,
+    cpuct: float = 1.0,
+    max_depth: int = 64,
+    use_tt: bool = False,
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Node-stats PUCT search with optional transposition-DAG dedup (the
+    reference's `seen` semantics, node.rs:135/272-326). Returns (root
+    child-node visit counts, dedup hit count)."""
+    lib = _tt_lib()
+    if lib is None:
+        return None
+    gid, cells, actions = _TT_GAMES[game_name]
+    board = np.ascontiguousarray(board, np.int8).reshape(cells)
+    counts = np.zeros(actions, np.float32)
+    hits = lib.az_tt_search(
+        gid,
+        board.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        num_sims,
+        cpuct,
+        max_depth,
+        1 if use_tt else 0,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return counts, int(hits)
+
+
+def tt_oracle_match(
+    game_name: str,
+    num_games: int,
+    num_sims: int,
+    cpuct: float = 1.0,
+    max_depth: int = 64,
+    temp_moves: int = 8,
+    seed: int = 1,
+) -> Optional[Tuple[int, int, int]]:
+    """Equal-sims head-to-head: DAG/TT search vs pure-tree search
+    (seating swapped; first ``temp_moves`` plies sampled ∝ counts).
+    Returns (tt_wins, tree_wins, draws)."""
+    lib = _tt_lib()
+    if lib is None:
+        return None
+    gid, _, _ = _TT_GAMES[game_name]
+    out = np.zeros(3, np.int32)
+    lib.az_tt_match(
+        gid, num_games, num_sims, cpuct, max_depth, temp_moves, seed,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return int(out[0]), int(out[1]), int(out[2])

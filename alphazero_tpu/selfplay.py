@@ -97,7 +97,17 @@ def make_selfplay_fn(
     The returned function plays ``sp_cfg.batch_size`` games from the initial
     position to termination (or ``max_moves``) under one jit.
     """
-    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
+    reuse = getattr(mcts_cfg, "tree_reuse", False)
+    if reuse:
+        # tree persistence across moves forces the XLA engine (the Pallas
+        # kernels' VMEM trees live exactly one search) — see mcts/reuse.py
+        from alphazero_tpu.mcts.reuse import make_reroot_fn
+        from alphazero_tpu.mcts.tree import init_tree
+
+        search = make_search_fn(game, apply_fn, mcts_cfg)
+        reroot = make_reroot_fn(game, mcts_cfg.nodes)
+    else:
+        root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     feat_v = jax.vmap(game.to_features)
@@ -108,10 +118,17 @@ def make_selfplay_fn(
         init_state = jax.vmap(lambda _: game.init())(jnp.arange(B))
 
         def move(carry, t):
-            state, done, outcome, moves, rng = carry
+            if reuse:
+                state, tree, reused, done, outcome, moves, rng = carry
+            else:
+                state, done, outcome, moves, rng = carry
             rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
 
-            counts = root_counts(params, state, k_noise)
+            if reuse:
+                tree = search.from_tree(params, tree, state, k_noise, reused)
+                counts = tree.root_counts()
+            else:
+                counts = root_counts(params, state, k_noise)
             temp = jnp.where(t < sp_cfg.temp_threshold, 1.0, 0.0)
             pi = action_probs(counts, temp, k_tie)
             feats = feat_v(state)
@@ -125,12 +142,21 @@ def make_selfplay_fn(
                 nxt,
                 state,
             )
+            if reuse:
+                # re-root through the played move (done games carry an
+                # inert tree; their samples are masked anyway)
+                tree, reused = reroot(tree, action, state)
             now_done, tv = term_v(state)
             outcome = jnp.where(~done & now_done, tv, outcome)
             moves = moves + (~done).astype(jnp.int32)
             emitted_valid = ~done
             done = done | now_done
-            return (state, done, outcome, moves, rng), (feats, pi, emitted_valid)
+            out_carry = (
+                (state, tree, reused, done, outcome, moves, rng)
+                if reuse
+                else (state, done, outcome, moves, rng)
+            )
+            return out_carry, (feats, pi, emitted_valid)
 
         carry0 = (
             init_state,
@@ -139,9 +165,19 @@ def make_selfplay_fn(
             jnp.zeros((B,), jnp.int32),
             rng,
         )
-        (state, done, outcome, moves, _), (feats, pis, valid) = jax.lax.scan(
-            move, carry0, jnp.arange(T)
-        )
+        if reuse:
+            carry0 = (
+                init_state,
+                init_tree(game, init_state, mcts_cfg.nodes),
+                jnp.zeros((B,), bool),
+            ) + carry0[1:]
+            (state, _, _, done, outcome, moves, _), (feats, pis, valid) = (
+                jax.lax.scan(move, carry0, jnp.arange(T))
+            )
+        else:
+            (state, done, outcome, moves, _), (feats, pis, valid) = jax.lax.scan(
+                move, carry0, jnp.arange(T)
+            )
 
         # Outcome from each sample's perspective: sample t's player sits
         # (moves - t) plies before the terminal to-move player; odd distance

@@ -54,11 +54,12 @@ def test_tree_structural_invariants():
     count = np.asarray(tree.count)
     C = tree.capacity
     assert np.all(count <= C)
-    assert int(tree.cursor) <= C
-    # children indices in range and only below the lockstep slot cursor
+    cursor = np.asarray(tree.cursor)
+    assert np.all(cursor <= C)
+    # children indices in range and only below the per-game slot cursor
     for b in range(N.shape[0]):
         kids = child[b][child[b] >= 0]
-        assert np.all(kids < int(tree.cursor))
+        assert np.all(kids < cursor[b])
         # no node is pointed at twice (pure tree, no DAG/transposition)
         assert len(kids) == len(np.unique(kids))
     # Q bounded by game value range

@@ -146,3 +146,71 @@ class TestOracleCrossValidation:
             np.testing.assert_array_equal(
                 np.asarray(tree.root_counts())[0], oracle, err_msg=f"cpuct={cpuct}"
             )
+
+
+class TestTranspositionOracle:
+    """SURVEY §7(c) quantification harness (csrc/tt_oracle.cpp): the
+    node-stats oracle reduces EXACTLY to the edge-stats pure tree with the
+    `seen` DAG off, and the dedup semantics behave (hits occur, the sim
+    budget is conserved through redirects)."""
+
+    def test_tree_mode_matches_edge_oracle(self):
+        rng = np.random.default_rng(5)
+        for trial in range(12):
+            s = play([])
+            # random legal playout prefix
+            moves = []
+            for _ in range(trial % 10):
+                h = np.asarray(heights(s))
+                legal = np.nonzero(h < 6)[0]
+                m = int(rng.choice(legal))
+                nxt = jax.vmap(G.step)(
+                    jax.tree_util.tree_map(lambda x: x[None], s),
+                    jnp.asarray([m]),
+                )
+                nxt = jax.tree_util.tree_map(lambda x: x[0], nxt)
+                done, _ = G.terminal(nxt)
+                if bool(done):
+                    break
+                s = nxt
+                moves.append(m)
+            sims = 10 + 31 * (trial % 4)
+            edge = native.oracle_search(
+                np.asarray(s.board), np.asarray(heights(s)), sims, 1.0, 48
+            )
+            res = native.tt_oracle_search(
+                "connect_four", np.asarray(s.board), sims, 1.0, 48, use_tt=False
+            )
+            assert res is not None
+            counts, hits = res
+            assert hits == 0
+            np.testing.assert_array_equal(edge, counts, err_msg=f"moves={moves}")
+
+    def test_dag_mode_dedups_and_conserves_budget(self):
+        s = play([])
+        counts_tt, hits = native.tt_oracle_search(
+            "connect_four", np.asarray(s.board), 200, 1.0, 48, use_tt=True
+        )
+        counts_tr, hits0 = native.tt_oracle_search(
+            "connect_four", np.asarray(s.board), 200, 1.0, 48, use_tt=False
+        )
+        assert hits > 0 and hits0 == 0
+        # every sim still passes through exactly one root child
+        assert counts_tt.sum() == 200 == counts_tr.sum()
+
+    def test_othello_oracle_runs(self):
+        board = np.zeros((8, 8), np.int8)
+        board[3, 3] = board[4, 4] = 1
+        board[3, 4] = board[4, 3] = -1
+        res = native.tt_oracle_search("othello", board, 60, 1.0, 64, use_tt=True)
+        assert res is not None
+        counts, hits = res
+        assert counts.sum() == 60
+        assert counts[64] == 0  # pass is illegal at the start
+
+    def test_match_driver_seating_and_totals(self):
+        r = native.tt_oracle_match(
+            "connect_four", 20, 12, 1.0, 48, temp_moves=6, seed=3
+        )
+        assert r is not None
+        assert sum(r) == 20
