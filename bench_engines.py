@@ -36,13 +36,20 @@ from alphazero_tpu.models import (
 )
 
 
+def _sync(r):
+    # a device->host fetch is the only reliable sync over the axon tunnel
+    # (block_until_ready can return early there)
+    import numpy as np
+
+    return np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[0]
+
+
 def timeit(f, n=3):
-    r = f()
-    jax.block_until_ready(r)
+    _sync(f())
     t0 = time.perf_counter()
     for _ in range(n):
         r = f()
-    jax.block_until_ready(r)
+    _sync(r)
     return (time.perf_counter() - t0) / n
 
 
