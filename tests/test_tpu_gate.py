@@ -1,0 +1,169 @@
+"""On-TPU smoke gate (run on the REAL chip; see docs/TPU_GATE.md).
+
+The CPU suite exercises the Pallas engines only in interpreter mode, so
+a Mosaic lowering regression (the "Not implemented: Lane broadcast"
+class) would otherwise first surface as a broken round bench. These
+tests execute one fused move, one hybrid move, one folded conv eval and
+one tiny Coach iteration on the real backend and check frozen goldens.
+
+Run:
+    AZ_TPU_GATE=1 PYTHONPATH=/root/.axon_site:/root/repo \\
+        python -m pytest tests/ -q -m tpu
+
+Regenerate goldens (after an INTENTIONAL semantics change, on the chip):
+    AZ_REGEN_GOLDENS=1 AZ_TPU_GATE=1 ... python -m pytest tests/ -q -m tpu
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu.config import MCTSConfig
+
+pytestmark = pytest.mark.tpu
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "tpu_goldens.json")
+_REGEN = bool(os.environ.get("AZ_REGEN_GOLDENS"))
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    data = {}
+    if os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH) as f:
+            data = json.load(f)
+    yield data
+    if _REGEN:
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+
+
+def _check(goldens, key, value, exact=True, atol=0.0):
+    value = np.asarray(value, np.float64).tolist()
+    if _REGEN or key not in goldens:
+        goldens[key] = value
+        if not _REGEN:
+            pytest.skip(f"no golden for {key}; run once with AZ_REGEN_GOLDENS=1")
+        return
+    got = np.asarray(value)
+    want = np.asarray(goldens[key])
+    if exact:
+        np.testing.assert_array_equal(got, want, err_msg=key)
+    else:
+        np.testing.assert_allclose(got, want, atol=atol, err_msg=key)
+
+
+def _positions(game, B, moves, seed):
+    from tests.test_fused import _random_positions
+
+    return _random_positions(game, B, moves, seed=seed)
+
+
+def test_backend_is_tpu():
+    assert jax.default_backend() == "tpu"
+
+
+def test_fused_move_matches_golden(goldens):
+    """One real-Mosaic fused-kernel move (uniform prior, production block
+    shape): root visit counts frozen."""
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.mcts.fused import make_fused_root_fn
+    from alphazero_tpu.models import make_uniform_model
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=32, max_depth=48)
+    fused = make_fused_root_fn(game, net.apply_fn, cfg)
+    assert fused is not None
+    state = _positions(game, 256, 6, seed=11)
+    counts = np.asarray(jax.jit(fused)({}, state))
+    assert counts.sum(-1).min() == 32 or counts.sum(-1).max() <= 32
+    _check(goldens, "fused_c4_uniform_counts_head", counts[:8])
+
+
+def test_fused_mlp_move_matches_golden(goldens):
+    """In-kernel MLP eval on the MXU (the bf16 path most sensitive to
+    Mosaic changes)."""
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.mcts.fused import make_fused_root_fn
+    from alphazero_tpu.models import MLPNet, init_flax_model, make_flax_apply_fn
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32, 32))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(0), game.feature_shape)
+    cfg = MCTSConfig(num_sims=24, max_depth=48)
+    fused = make_fused_root_fn(game, apply_fn, cfg)
+    assert fused is not None
+    state = _positions(game, 256, 4, seed=12)
+    counts = np.asarray(jax.jit(fused)(params, state))
+    _check(goldens, "fused_c4_mlp_counts_head", counts[:8])
+
+
+def test_hybrid_move_matches_golden(goldens):
+    """Descend/merge kernels around an XLA conv forward (the flagship
+    self-play path)."""
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
+    from alphazero_tpu.models import AZResNet, init_flax_model, make_flax_apply_fn
+
+    game = ConnectFour()
+    model = AZResNet(num_actions=game.num_actions, channels=16, blocks=2)
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(2), game.feature_shape)
+    cfg = MCTSConfig(num_sims=16, max_depth=48)
+    hybrid = make_hybrid_root_fn(game, apply_fn, cfg)
+    assert hybrid is not None
+    state = _positions(game, 256, 2, seed=13)
+    counts = np.asarray(jax.jit(hybrid)(params, state))
+    # conv arithmetic differs across compiler versions at the last ulp;
+    # counts are integers downstream of it, frozen exactly
+    _check(goldens, "hybrid_c4_resnet_counts_head", counts[:8])
+
+
+def test_folded_eval_matches_golden(goldens):
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.models import AZResNet, init_flax_model, make_flax_apply_fn
+
+    game = ConnectFour()
+    model = AZResNet(num_actions=game.num_actions, channels=16, blocks=2)
+    variables = init_flax_model(model, jax.random.key(3), game.feature_shape)
+    feats = jax.vmap(game.to_features)(_positions(game, 8, 5, seed=14))
+    logits, v = jax.jit(make_flax_apply_fn(model, fold=True))(variables, feats)
+    _check(goldens, "folded_resnet_logits", logits, exact=False, atol=2e-2)
+    _check(goldens, "folded_resnet_value", v, exact=False, atol=1e-2)
+
+
+def test_coach_iteration_on_tpu():
+    """A tiny but complete Coach iteration (self-play -> replay -> train
+    -> arena gate) on the real chip."""
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import (
+        ArenaConfig,
+        AZConfig,
+        MCTSConfig as MC,
+        ReplayConfig,
+        SelfPlayConfig,
+        TrainConfig,
+    )
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.models import MLPNet
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = AZConfig(
+        mcts=MC(num_sims=16, max_depth=24),
+        selfplay=SelfPlayConfig(batch_size=256, temp_threshold=6),
+        replay=ReplayConfig(capacity=1 << 14),
+        train=TrainConfig(batch_size=128, steps_per_iteration=8),
+        arena=ArenaConfig(num_games=64, update_threshold=0.6, num_sims=8),
+        seed=0,
+    )
+    rec = Coach(game, model, cfg).run_iteration()
+    assert np.isfinite(rec["loss_last"])
+    assert rec["arena_wins"] + rec["arena_losses"] + rec["arena_draws"] <= 64
+    assert rec["selfplay_moves"] > 256  # games actually played out
