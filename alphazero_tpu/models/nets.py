@@ -302,6 +302,37 @@ class AZConvNet(nn.Module):
         v = nn.Dense(1, dtype=jnp.float32, name="value")(x)
         return logits, jnp.tanh(v)[:, 0]
 
+    def folded_apply(self, variables, feats):
+        """BN-folded inference forward (see AZResNet.folded_apply — same
+        measured motivation; Dropout is identity at inference)."""
+        p = variables["params"]
+        bs = variables["batch_stats"]
+        dt = self.dtype
+
+        x = feats.astype(dt)
+        for i, pad in enumerate(("SAME", "SAME", "VALID", "VALID")):
+            w, b = _fold_conv_bn(
+                p[f"Conv_{i}"]["kernel"], p[f"BatchNorm_{i}"], bs[f"BatchNorm_{i}"], dt
+            )
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt,
+            )
+            x = nn.relu(y + b)
+        x = x.reshape((x.shape[0], -1))
+        for j in range(2):
+            w, b = _fold_conv_bn(
+                p[f"Dense_{j}"]["kernel"],
+                p[f"BatchNorm_{4 + j}"],
+                bs[f"BatchNorm_{4 + j}"],
+                dt,
+            )
+            x = nn.relu(x @ w + b)
+        logits = x.astype(jnp.float32) @ p["policy"]["kernel"] + p["policy"]["bias"]
+        v = x.astype(jnp.float32) @ p["value"]["kernel"] + p["value"]["bias"]
+        return logits, jnp.tanh(v)[:, 0]
+
 
 def make_flax_apply_fn(model: nn.Module, fold: Optional[bool] = None) -> Callable:
     """Inference-mode apply: (variables, feats) -> (logits, value).

@@ -68,7 +68,12 @@ def main():
             selfplay=SelfPlayConfig(batch_size=512, temp_threshold=15),
             replay=ReplayConfig(capacity=1 << 17),
             train=TrainConfig(batch_size=512, steps_per_iteration=128),
-            arena=ArenaConfig(num_games=128, update_threshold=0.55, num_sims=25),
+            arena=ArenaConfig(
+                num_games=128,
+                update_threshold=0.55,
+                num_sims=25,
+                anchor_interval=2,
+            ),
             num_iterations=20,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,

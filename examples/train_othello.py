@@ -5,8 +5,9 @@ config 4).
 Exercises the generic game protocol end-to-end (the role the reference's
 ``Game`` trait plays, src/game.rs:8-28) on a game with a large action
 space (65), pass moves, dihedral symmetry augmentation (8x) and a nonzero
-depth-cutoff heuristic. The search runs on the general XLA engine
-(mcts/search.py); everything else — coach, replay, learner, arena, Elo,
+depth-cutoff heuristic. On TPU the search runs on the hybrid
+descend/merge-kernel engine (mcts/hybrid.py — the engine ladder in
+selfplay.py picks it for any model on flat-ops games); everything else — coach, replay, learner, arena, Elo,
 checkpoints — is the same machinery as Connect-Four.
 
 Usage:
@@ -70,7 +71,12 @@ def main():
             selfplay=SelfPlayConfig(batch_size=256, temp_threshold=12),
             replay=ReplayConfig(capacity=1 << 17),
             train=TrainConfig(batch_size=512, steps_per_iteration=128),
-            arena=ArenaConfig(num_games=64, update_threshold=0.55, num_sims=25),
+            arena=ArenaConfig(
+                num_games=64,
+                update_threshold=0.55,
+                num_sims=25,
+                anchor_interval=3,
+            ),
             num_iterations=12,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
@@ -90,7 +96,12 @@ def main():
             selfplay=SelfPlayConfig(batch_size=1024, temp_threshold=12),
             replay=ReplayConfig(capacity=1 << 19),
             train=TrainConfig(batch_size=1024, steps_per_iteration=1024),
-            arena=ArenaConfig(num_games=128, update_threshold=None, num_sims=50),
+            arena=ArenaConfig(
+                num_games=128,
+                update_threshold=None,
+                num_sims=50,
+                anchor_interval=5,
+            ),
             num_iterations=30,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,

@@ -71,3 +71,17 @@ def test_search_with_folded_eval_matches_search_quality():
     # distributions are close in L1
     d = np.abs(c0 / c0.sum(-1, keepdims=True) - c1 / c1.sum(-1, keepdims=True))
     assert d.sum(-1).mean() < 0.25
+
+
+def test_azconvnet_folded_apply_equivalent():
+    """The C11-parity net folds too (conv+BN stack, dense+BN stack,
+    inference Dropout = identity)."""
+    from alphazero_tpu.models import AZConvNet
+
+    model = AZConvNet(num_actions=G.num_actions, channels=32)
+    variables = init_flax_model(model, jax.random.key(4), G.feature_shape)
+    feats = jax.random.uniform(jax.random.key(5), (32,) + G.feature_shape)
+    l0, v0 = jax.jit(make_flax_apply_fn(model, fold=False))(variables, feats)
+    l1, v1 = jax.jit(make_flax_apply_fn(model, fold=True))(variables, feats)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=0.05)
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=0.02)
