@@ -40,9 +40,10 @@ BASELINE_TARGET = 100_000.0  # env-steps/s/chip (BASELINE.json north_star)
 
 
 def main():
-    # measured on v5e: 8192 games -> ~272k env-steps/s, 32768 -> ~288k
-    # (fixed per-move costs amortize across more lockstep games)
-    batch = int(os.environ.get("AZ_BENCH_BATCH", 32768))
+    # measured on v5e: 8192 games -> ~272k env-steps/s, 32768 -> ~288k,
+    # 65536 -> ~292k (fixed per-move costs amortize across more lockstep
+    # games; the curve is flat past ~49k)
+    batch = int(os.environ.get("AZ_BENCH_BATCH", 65536))
     sims = int(os.environ.get("AZ_BENCH_SIMS", 100))
     steps = int(os.environ.get("AZ_BENCH_STEPS", 20))
 
