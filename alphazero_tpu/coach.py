@@ -459,12 +459,17 @@ class Coach:
         limit = max(self.cfg.arena.pool_size, 1)
         while len(self.pool) > limit:
             gens = [g for g, _ in self.pool]
-            # gap around each evictable member (all but the newest)
+            # gap around each evictable member (all but the newest); ties
+            # evict the YOUNGEST tied member (<=) — with consecutive
+            # generations every gap ties, and evicting the oldest would
+            # degenerate the pool into a sliding recency window instead of
+            # the intended long-baseline spread (e.g. limit 4 keeps
+            # [1, 3, 5, newest], not the last four)
             best_i, best_gap = 0, None
             for i in range(len(gens) - 1):
                 lo = gens[i - 1] if i > 0 else 2 * gens[0] - gens[1]
                 gap = gens[i + 1] - lo
-                if best_gap is None or gap < best_gap:
+                if best_gap is None or gap <= best_gap:
                     best_i, best_gap = i, gap
             del self.pool[best_i]
 

@@ -80,6 +80,82 @@ def primary_only(fn):
     return wrapped
 
 
+def launch_local_multihost(
+    args: list,
+    num_processes: int = 2,
+    devices_per_process: int = 4,
+    timeout: float = 540.0,
+):
+    """Spawn ``num_processes`` OS processes of examples/train_multihost.py
+    joined into one local multi-controller mesh (each with
+    ``devices_per_process`` virtual CPU devices); return process 0's JSON
+    records. Shared by tests/test_multihost.py and
+    ``__graft_entry__.dryrun_multihost`` — the single copy of the launch
+    recipe (port pick, env scrub, timeout kill)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # the parent may force a CPU topology of its own (test conftest) —
+    # children must build theirs from the launcher flags alone
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(repo, "examples", "train_multihost.py"),
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(num_processes),
+                "--process-id", str(pid),
+                "--platform", "cpu",
+                "--host-devices", str(devices_per_process),
+            ]
+            + list(args),
+            env=env,
+            cwd=repo,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(num_processes)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=timeout))
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise
+    for p, (out, err) in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost process failed rc={p.returncode}\n"
+                f"stdout:\n{out}\nstderr:\n{err}"
+            )
+    records = [
+        json.loads(line)
+        for line in outs[0][0].splitlines()
+        if line.startswith("{")
+    ]
+    if not records:
+        raise RuntimeError(f"no JSON records from process 0:\n{outs[0][0]}")
+    return records
+
+
 def replicate_host_value(x: Any, mesh) -> jax.Array:
     """Lift a host-local array (identical on every process, e.g. the PRNG
     key state) into a fully-replicated global array on ``mesh`` so that

@@ -101,6 +101,11 @@ def make_selfplay_fn(
     if reuse:
         # tree persistence across moves forces the XLA engine (the Pallas
         # kernels' VMEM trees live exactly one search) — see mcts/reuse.py
+        if getattr(mcts_cfg, "parallel_sims", 1) > 1:
+            raise ValueError(
+                "tree_reuse runs on the XLA engine, which has no "
+                "parallel_sims=K leaf-parallel mode — set parallel_sims=1"
+            )
         from alphazero_tpu.mcts.reuse import make_reroot_fn
         from alphazero_tpu.mcts.tree import init_tree
 

@@ -252,3 +252,38 @@ def test_anchored_rating_pass(tmp_path):
     rec = resumed.run_iteration()
     assert "anchored_elo" in rec
     assert len(resumed.pool) == 1
+
+
+def test_pool_eviction_keeps_long_baseline():
+    """With consecutive generations (continuous mode), eviction must keep
+    a spread of old generations, not a sliding recency window."""
+    import dataclasses
+
+    game = ConnectFour()
+    cfg = dataclasses.replace(
+        tiny_cfg(None, seed=1),
+        arena=ArenaConfig(num_games=8, update_threshold=0.6, num_sims=4,
+                          anchor_interval=1, pool_size=5),
+    )
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(16,)), cfg)
+    for g in range(1, 21):
+        coach._pool_insert(g, {})
+    gens = [g for g, _ in coach.pool]
+    assert gens[-1] == 20                       # newest always kept
+    assert gens == sorted(gens)
+    assert gens[0] <= 8                         # a long baseline survives
+    assert gens != list(range(16, 21))          # NOT a recency window
+
+
+def test_tree_reuse_rejects_parallel_sims():
+    import pytest as _pytest
+
+    from alphazero_tpu.selfplay import make_selfplay_fn
+    from alphazero_tpu.models import make_uniform_model
+    from alphazero_tpu.config import MCTSConfig, SelfPlayConfig
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=8, tree_reuse=True, parallel_sims=2)
+    with _pytest.raises(ValueError, match="parallel_sims"):
+        make_selfplay_fn(game, net.apply_fn, cfg, SelfPlayConfig(batch_size=4))

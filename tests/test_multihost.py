@@ -13,10 +13,7 @@ src/async_mcts.rs:117-189 channels); this is the TPU-native scale-out
 path those channels map to.
 """
 
-import json
 import os
-import socket
-import subprocess
 import sys
 
 import pytest
@@ -32,64 +29,12 @@ TINY = [
 ]
 
 
-def _free_port():
-    s = socket.socket()
-    s.bind(("", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
 def _launch_pair(extra, timeout=540):
-    """Run the 2-process launcher; return process 0's JSON records."""
-    port = _free_port()
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    # the parent test process forces an 8-device CPU topology (conftest);
-    # the children must build their own 4-device one
-    env.pop("JAX_PLATFORMS", None)
-    env["XLA_FLAGS"] = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f
-    )
-    procs = []
-    for pid in (0, 1):
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    os.path.join(REPO, "examples", "train_multihost.py"),
-                    "--coordinator", f"localhost:{port}",
-                    "--num-processes", "2", "--process-id", str(pid),
-                    "--platform", "cpu", "--host-devices", "4",
-                ]
-                + TINY
-                + extra,
-                env=env,
-                cwd=REPO,
-                stdout=subprocess.PIPE,
-                stderr=subprocess.PIPE,
-                text=True,
-            )
-        )
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outs.append((p.returncode, out, err))
-    for rc, out, err in outs:
-        assert rc == 0, f"launcher failed rc={rc}\nstdout:\n{out}\nstderr:\n{err}"
-    records = [
-        json.loads(line)
-        for line in outs[0][1].splitlines()
-        if line.startswith("{")
-    ]
-    assert records, f"no JSON records from process 0:\n{outs[0][1]}"
-    return records
+    """Run the 2-process launcher; return process 0's JSON records
+    (shared recipe: alphazero_tpu.parallel.distributed)."""
+    from alphazero_tpu.parallel.distributed import launch_local_multihost
+
+    return launch_local_multihost(TINY + extra, timeout=timeout)
 
 
 def _reference_record(tmp_path):
