@@ -1,5 +1,6 @@
 from alphazero_tpu.games.base import Game
 from alphazero_tpu.games.connect_four import ConnectFour
+from alphazero_tpu.games.gomoku import Gomoku
 from alphazero_tpu.games.othello import Othello
 
-__all__ = ["Game", "ConnectFour", "Othello"]
+__all__ = ["Game", "ConnectFour", "Gomoku", "Othello"]

@@ -115,6 +115,12 @@ def make_fused_root_fn(
         return None  # model has no in-kernel evaluator -> XLA engine
     if not getattr(game, "heuristic_is_zero", False):
         return None
+    if game.num_actions > 16:
+        # the kernel unrolls the per-action PUCT refresh and (for K>1)
+        # packs per-round counts base-(K+1) into one lane — both sized for
+        # small action spaces. Large-A flat-ops games (Gomoku's 81) take
+        # the hybrid engine, whose refresh has a dense large-A path.
+        return None
     flat_ops_factory = getattr(game, "flat_ops", None)
     if flat_ops_factory is None:
         return None

@@ -125,6 +125,24 @@ def test_hybrid_move_matches_golden(goldens):
     _check(goldens, "hybrid_c4_resnet_counts_head", counts[:8])
 
 
+def test_hybrid_gomoku_move_matches_golden(goldens):
+    """Third game on the hybrid engine's dense large-A refresh path
+    (81 actions) under real Mosaic."""
+    from alphazero_tpu.games import Gomoku
+    from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
+    from alphazero_tpu.models import make_uniform_model
+
+    game = Gomoku()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=16, max_depth=32)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg)
+    assert hybrid is not None
+    state = jax.vmap(lambda _: game.init())(jnp.arange(256))
+    counts = np.asarray(jax.jit(hybrid)({}, state))
+    assert counts.sum(-1).max() == 16
+    _check(goldens, "hybrid_gomoku_uniform_counts_head", counts[:4])
+
+
 def test_folded_eval_matches_golden(goldens):
     from alphazero_tpu.games import ConnectFour
     from alphazero_tpu.models import AZResNet, init_flax_model, make_flax_apply_fn
