@@ -82,6 +82,11 @@ def restore_checkpoint(
         sharding = None
         if isinstance(x, jax.Array) and getattr(x, "committed", False):
             sharding = x.sharding
+        elif partial:
+            # the PyTreeRestore path demands a concrete sharding for every
+            # leaf (StandardCheckpointer tolerates None); uncommitted
+            # templates restore to the default device
+            sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         return jax.ShapeDtypeStruct(
             jnp.shape(x), jnp.asarray(x).dtype, sharding=sharding
         )
@@ -89,8 +94,16 @@ def restore_checkpoint(
     abstract = jax.tree_util.tree_map(abstractify, template)
     if partial:
         ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        # the template shardings must travel as explicit restore_args:
+        # PyTreeRestore does not read ShapeDtypeStruct.sharding, and
+        # without one a checkpoint saved on another backend (TPU run ->
+        # CPU play tool) fails to map its recorded devices
+        restore_args = ocp.checkpoint_utils.construct_restore_args(abstract)
         payload = ckptr.restore(
-            path, args=ocp.args.PyTreeRestore(abstract, partial_restore=True)
+            path,
+            args=ocp.args.PyTreeRestore(
+                abstract, restore_args=restore_args, partial_restore=True
+            ),
         )
     else:
         ckptr = ocp.StandardCheckpointer()

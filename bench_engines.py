@@ -100,6 +100,15 @@ def main():
          {"max_depth": 80, "parallel_sims": 4})
     )
 
+    from alphazero_tpu.games import Gomoku
+
+    gmk = Gomoku()
+    unig = make_uniform_model(gmk)
+    cases.append(
+        ("gomoku_uniform_B4096_100sims", gmk, unig.apply_fn, {}, 4096,
+         {"max_depth": 48})
+    )
+
     for name, game, apply_fn, params, B, over in cases:
         if only and only not in name:
             continue

@@ -287,3 +287,32 @@ def test_tree_reuse_rejects_parallel_sims():
     cfg = MCTSConfig(num_sims=8, tree_reuse=True, parallel_sims=2)
     with _pytest.raises(ValueError, match="parallel_sims"):
         make_selfplay_fn(game, net.apply_fn, cfg, SelfPlayConfig(batch_size=4))
+
+
+def test_partial_restore_params_only(tmp_path):
+    """The play/eval tools restore just the incumbent subtree into a
+    fresh (uncommitted) template — the partial path must carry concrete
+    restore shardings (regression: failed for checkpoints saved on a
+    different backend)."""
+    from alphazero_tpu.checkpoint import latest_step, restore_checkpoint
+    from alphazero_tpu.config import TrainConfig
+    from alphazero_tpu.train import TrainState, init_train_state
+
+    coach = make_coach(tmp_path, seed=13)
+    coach.learn(1)
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    fresh = init_train_state(
+        model, jax.random.key(99), game.feature_shape, TrainConfig()
+    )
+    step = latest_step(str(tmp_path))
+    payload, _ = restore_checkpoint(
+        str(tmp_path), step, {"incumbent": fresh._asdict()}, partial=True
+    )
+    restored = TrainState(**payload["incumbent"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(coach.incumbent.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
