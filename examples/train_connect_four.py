@@ -21,7 +21,7 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "mlp", "full"], default="smoke")
+    ap.add_argument("--preset", choices=["smoke", "mlp", "full", "convnet"], default="smoke")
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -75,6 +75,28 @@ def main():
                 anchor_interval=2,
             ),
             num_iterations=20,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    elif args.preset == "convnet":
+        # the C11-parity net (the reference's TF1 architecture spec,
+        # connect_four_net.py:20-100: conv3x3x512 stack + dense heads),
+        # trained end-to-end to back the parity claim with a run
+        from alphazero_tpu.models import AZConvNet
+
+        model = AZConvNet(num_actions=game.num_actions, channels=512)
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=50, max_depth=48, dirichlet_alpha=1.0),
+            selfplay=SelfPlayConfig(batch_size=1024, temp_threshold=15),
+            replay=ReplayConfig(capacity=1 << 18),
+            train=TrainConfig(batch_size=512, steps_per_iteration=256),
+            arena=ArenaConfig(
+                num_games=128,
+                update_threshold=0.55,
+                num_sims=25,
+                anchor_interval=3,
+            ),
+            num_iterations=10,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
         )
