@@ -84,11 +84,19 @@ class ConnectFour:
     def step(self, state: ConnectFourState, action: jax.Array) -> ConnectFourState:
         """Drop a +1 piece in column ``action``; return the flipped board
         (next player's canonical view). Total: a full column clamps to the
-        top row (callers done-mask such states). The landing row is the
-        first empty cell, found with a branch-free column reduce."""
-        col = state.board[:, action]
-        row = jnp.minimum(jnp.sum(col != 0), ROWS - 1)
-        board = state.board.at[row, action].set(1)
+        top row (callers done-mask such states).
+
+        DENSE one-hot arithmetic only — no per-game dynamic gather/scatter.
+        The original ``board[:, action]`` + ``.at[row, action].set(1)``
+        formulation MISCOMPILES on the TPU backend under vmap at large
+        batch (measured: the placement scatter silently dropped for
+        2296/4096 boards at B=4096; correct at B<=512 and on CPU). Guarded
+        by the tpu-gate step-correctness test (tests/test_tpu_gate.py)."""
+        col_mask = jnp.arange(COLS) == action                       # [7]
+        heights = jnp.sum(state.board != 0, axis=0)                 # [7]
+        row = jnp.minimum(jnp.sum(heights * col_mask), ROWS - 1)
+        hit = (jnp.arange(ROWS)[:, None] == row) & col_mask[None, :]
+        board = jnp.where(hit, jnp.int8(1), state.board)
         return ConnectFourState(board=(-board).astype(jnp.int8))
 
     def valid_moves(self, state: ConnectFourState) -> jax.Array:

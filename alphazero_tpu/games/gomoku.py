@@ -64,9 +64,13 @@ class Gomoku:
     def step(self, state: GomokuState, action: jax.Array) -> GomokuState:
         """Place a +1 stone at ``action`` (row-major cell); return the
         flipped board. Total: placing on an occupied cell overwrites it
-        with +1 (callers mask illegal actions)."""
+        with +1 (callers mask illegal actions).
+
+        Dense one-hot write — per-game dynamic scatters miscompile on the
+        TPU backend under vmap at large batch (see ConnectFour.step)."""
         r, c = action // SIZE, action % SIZE
-        board = state.board.at[r, c].set(1)
+        hit = (jnp.arange(SIZE)[:, None] == r) & (jnp.arange(SIZE)[None, :] == c)
+        board = jnp.where(hit, jnp.int8(1), state.board)
         return GomokuState(board=(-board).astype(jnp.int8))
 
     def valid_moves(self, state: GomokuState) -> jax.Array:

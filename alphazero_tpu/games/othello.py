@@ -108,9 +108,14 @@ class Othello:
         with no flips (callers mask such states)."""
         r, c = action // SIZE, action % SIZE
         is_pass = action >= PASS
-        move = jnp.zeros((SIZE, SIZE), bool).at[
-            jnp.minimum(r, SIZE - 1), jnp.minimum(c, SIZE - 1)
-        ].set(~is_pass)
+        # dense one-hot move mask — per-game dynamic scatters miscompile
+        # on the TPU backend under vmap at large batch (see
+        # ConnectFour.step)
+        move = (
+            (jnp.arange(SIZE)[:, None] == jnp.minimum(r, SIZE - 1))
+            & (jnp.arange(SIZE)[None, :] == jnp.minimum(c, SIZE - 1))
+            & ~is_pass
+        )
         flips = _flip_mask(state.board, move)
         board = jnp.where(flips | move, jnp.int8(1), state.board)
         return OthelloState(board=(-board).astype(jnp.int8))

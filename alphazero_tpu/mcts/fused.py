@@ -698,6 +698,13 @@ def make_fused_root_fn(
                 pltpu.VMEM((Bb, C), jnp.float32),     # leaf one-hot
             ],
             interpret=interpret,
+            # K>1 rounds carry extra scratch planes that can nudge a block
+            # past the default 16 MB scoped-vmem stack (measured: 16.48 MB
+            # at K=4, Bb=256); v5e has 128 MB VMEM — same headroom as the
+            # hybrid kernel
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         )(boards, priors, aux, *weights)
 
     feat_dummy = getattr(apply_fn, "needs_features", True)

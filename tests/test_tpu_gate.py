@@ -156,6 +156,77 @@ def test_folded_eval_matches_golden(goldens):
     _check(goldens, "folded_resnet_value", v, exact=False, atol=1e-2)
 
 
+def test_step_v_exact_at_large_batch():
+    """Regression for a real TPU-backend miscompile: per-game dynamic
+    gather/scatter in ``game.step`` silently dropped the placement for
+    ~half of a B=4096 vmapped batch (correct at B<=512 and on CPU). The
+    steps are now dense one-hot writes; this pins them against the host
+    reference at the failing batch size, for all three games."""
+    import numpy as np
+
+    from alphazero_tpu.games import ConnectFour, Gomoku, Othello
+
+    B = 4096
+    rng = np.random.default_rng(7)
+
+    # connect-four: host-built random positions + legal actions
+    game = ConnectFour()
+    boards = np.zeros((B, 6, 7), np.int8)
+    heights = np.zeros((B, 7), np.int64)
+    for b in range(B):
+        for _ in range(rng.integers(0, 20)):
+            legal = np.nonzero(heights[b] < 6)[0]
+            c = int(rng.choice(legal))
+            boards[b, heights[b, c], c] = 1
+            heights[b, c] += 1
+            boards[b] = -boards[b]
+    actions = np.array(
+        [int(rng.choice(np.nonzero(heights[b] < 6)[0])) for b in range(B)]
+    )
+    ref = boards.copy()
+    for b in range(B):
+        ref[b, heights[b, actions[b]], actions[b]] = 1
+    from alphazero_tpu.games.connect_four import ConnectFourState
+
+    out = jax.jit(jax.vmap(game.step))(
+        ConnectFourState(board=jnp.asarray(boards)), jnp.asarray(actions)
+    )
+    np.testing.assert_array_equal(np.asarray(out.board), -ref)
+
+    # gomoku: empty-cell placements
+    gmk = Gomoku()
+    gb = np.zeros((B, 9, 9), np.int8)
+    occ = rng.integers(0, 81, (B, 10))
+    for b in range(B):
+        for j, cell in enumerate(occ[b]):
+            gb[b, cell // 9, cell % 9] = 1 if j % 2 == 0 else -1
+    acts = np.array(
+        [int(rng.choice(np.nonzero(gb[b].reshape(-1) == 0)[0])) for b in range(B)]
+    )
+    gref = gb.copy()
+    for b in range(B):
+        gref[b, acts[b] // 9, acts[b] % 9] = 1
+    from alphazero_tpu.games.gomoku import GomokuState
+
+    gout = jax.jit(jax.vmap(gmk.step))(
+        GomokuState(board=jnp.asarray(gb)), jnp.asarray(acts)
+    )
+    np.testing.assert_array_equal(np.asarray(gout.board), -gref)
+
+    # othello: step at B=4096 must match the (flat-ops-verified) CPU step
+    oth = Othello()
+    state = jax.vmap(lambda _: oth.init())(jnp.arange(B))
+    oacts = jnp.asarray(rng.integers(0, 65, B))
+    got = jax.jit(jax.vmap(oth.step))(state, oacts)
+    import jax as _jax
+
+    cpu = _jax.jit(_jax.vmap(oth.step), backend="cpu")(
+        _jax.device_put(state, _jax.devices("cpu")[0]),
+        _jax.device_put(oacts, _jax.devices("cpu")[0]),
+    )
+    np.testing.assert_array_equal(np.asarray(got.board), np.asarray(cpu.board))
+
+
 def test_coach_iteration_on_tpu():
     """A tiny but complete Coach iteration (self-play -> replay -> train
     -> arena gate) on the real chip."""
