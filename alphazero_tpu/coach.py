@@ -88,6 +88,7 @@ class Coach:
         self.mesh = mesh
 
         apply_fn = make_flax_apply_fn(model)
+        self._eval_folded = bool(getattr(apply_fn, "folded", False))
 
         self.rng = jax.random.key(cfg.seed)
         init_state_fn = lambda: init_train_state(
@@ -390,6 +391,7 @@ class Coach:
             "replay_total": replay_total(self.replay),
             "selfplay_moves": selfplay_moves,
             "selfplay_truncated": selfplay_truncated,
+            "eval_folded": self._eval_folded,
             **({"anchor_win_rate": round(anchor, 4)} if anchor is not None else {}),
             **(
                 {"anchored_elo": round(anchored_elo, 2)}
@@ -428,10 +430,16 @@ class Coach:
             {"a": me, "b": "anchor", "wins_a": aw, "wins_b": al, "draws": ad}
         )
 
-        for gen_id, snap_vars in self.pool:
+        snap_shardings = jax.tree_util.tree_map(lambda l: l.sharding, inc_vars)
+        for gen_id, snap_host in self.pool:
             if gen_id == me:
                 continue
             (k_m,) = self._split(1)
+            # pool snapshots live on the host (they would otherwise pin
+            # pool_size full copies of the variables in HBM for the whole
+            # run); stage each one onto the incumbent's shardings only for
+            # the duration of its arena
+            snap_vars = jax.device_put(snap_host, snap_shardings)
             with self.timer.phase("anchor"):
                 pr = self._arena(inc_vars, snap_vars, k_m)
                 jax.block_until_ready(pr.cand_wins)
@@ -452,7 +460,9 @@ class Coach:
     def _pool_insert(self, gen_id, snap_vars) -> None:
         """Keep the newest snapshot; evict toward evenly spaced
         generations (drop the member whose neighbors are closest, never
-        the newest)."""
+        the newest). Snapshots are held as host (numpy) copies — HBM only
+        sees one of them at a time, during its anchored-pass arena."""
+        snap_vars = jax.device_get(snap_vars)
         self.pool = [(g, v) for g, v in self.pool if g != gen_id]
         self.pool.append((gen_id, snap_vars))
         self.pool.sort(key=lambda t: t[0])

@@ -357,6 +357,11 @@ def make_flax_apply_fn(model: nn.Module, fold: Optional[bool] = None) -> Callabl
         def apply_fn(variables, feats):
             return model.apply(variables, feats, train=False)
 
+    # Stamped into every Coach metrics record so cross-run Elo/loss curves
+    # can be compared knowing which eval path (folded vs unfolded BN, ~1e-2
+    # logit delta) produced them.
+    apply_fn.folded = use_folded
+
     if isinstance(model, MLPNet):
         # MLPs additionally get an in-kernel evaluator so the fused
         # VMEM-resident search can run them on the MXU inside the kernel

@@ -132,20 +132,43 @@ def launch_local_multihost(
         )
         for pid in range(num_processes)
     ]
-    outs = []
+    # One shared deadline across the whole gang: poll in short slices so a
+    # process that dies early surfaces immediately (and takes the rest of
+    # the gang down with it) instead of blocking the full timeout on
+    # process 0 first.
+    import time
+
+    deadline = time.monotonic() + timeout
+    outs: list = [None] * len(procs)
+    pending = list(range(len(procs)))
+    failed = None
     try:
-        for p in procs:
-            outs.append(p.communicate(timeout=timeout))
-    except subprocess.TimeoutExpired:
-        for q in procs:
-            q.kill()
-        raise
-    for p, (out, err) in zip(procs, outs):
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"multihost process failed rc={p.returncode}\n"
-                f"stdout:\n{out}\nstderr:\n{err}"
-            )
+        while pending:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise subprocess.TimeoutExpired(procs[pending[0]].args, timeout)
+            idx = pending[0]
+            try:
+                outs[idx] = procs[idx].communicate(timeout=min(remaining, 5.0))
+            except subprocess.TimeoutExpired:
+                # rotate: give every live process a slice of the deadline
+                pending = pending[1:] + [idx]
+                continue
+            pending.remove(idx)
+            if procs[idx].returncode != 0:
+                failed = idx
+                break
+    finally:
+        if pending or failed is not None:
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+    if failed is not None:
+        out, err = outs[failed]
+        raise RuntimeError(
+            f"multihost process {failed} failed rc={procs[failed].returncode}\n"
+            f"stdout:\n{out}\nstderr:\n{err}"
+        )
     records = [
         json.loads(line)
         for line in outs[0][0].splitlines()
