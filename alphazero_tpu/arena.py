@@ -84,22 +84,35 @@ def make_arena_fn(
         sel = jnp.tile(cand_to_move, feats.shape[0] // cand_to_move.shape[0])
         return jnp.where(sel[:, None], lc, li), jnp.where(sel, vc, vi)
 
+    transposition = getattr(mcts_cfg, "transposition", False)
+
     # fused path: when BOTH models can evaluate inside the Pallas kernel,
     # search each side's trees with its own fused call and row-select the
     # counts by whose turn it is — identical semantics to the combined
     # forward (the searching player uses their net for every leaf of their
     # search), at fused-kernel speed.
-    fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size, mesh=mesh)
-    fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size, mesh=mesh)
+    fused_cand = fused_inc = None
+    if not transposition:
+        fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size, mesh=mesh)
+        fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size, mesh=mesh)
     # the combined forward closes over the per-game cand_to_move row select,
     # which the hybrid's shard_map would replicate against shard-local leaf
     # boards — on a >1-device mesh the arena uses the XLA engine instead
     # (GSPMD shards mixed params/batch natively; arena cost is negligible)
     hybrid = None
-    if mesh is None or mesh.shape.get("data", 1) == 1:
+    if not transposition and (mesh is None or mesh.shape.get("data", 1) == 1):
         hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size)
 
-    if fused_cand is not None and fused_inc is not None:
+    if transposition:
+        # deep-search DAG mode: both players search with dedup, through the
+        # combined two-model forward (same semantics as the XLA branch)
+        from alphazero_tpu.mcts.tt import make_tt_search_fn
+
+        tt_search = make_tt_search_fn(game, combined_apply, mcts_cfg)
+
+        def root_counts(params, state):
+            return tt_search(params, state).root_counts()
+    elif fused_cand is not None and fused_inc is not None:
         def root_counts(params, state):
             p_cand, p_inc, cand_to_move = params
             cc = fused_cand(p_cand, state)

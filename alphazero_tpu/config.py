@@ -52,6 +52,20 @@ class MCTSConfig:
     #                              top-2 PUCT actions within a round).
     #                              num_sims must be divisible by K.
 
+    transposition: bool = False  # opt-in transposition-DAG dedup (the
+    #                              reference's `seen` table, node.rs:135 /
+    #                              272-326): node-level shared statistics,
+    #                              duplicate expansions redirect to the
+    #                              canonical node and continue the descent.
+    #                              Runs on the dedicated mcts/tt.py engine
+    #                              (bit-exact vs csrc/tt_oracle.cpp).
+    #                              Measured worth ~0 Elo at 25-100
+    #                              sims/move and +32/+9 Elo (c4/othello)
+    #                              at 400 — enable for DEEP-search
+    #                              deployments only; it pays two lane
+    #                              gathers per simulation the default
+    #                              engines avoid (docs/PARITY.md).
+
     tree_reuse: bool = False     # carry the search tree across the moves of
     #                              an episode (the reference's per-episode
     #                              AsyncMcts persistence, coach.rs:104-157):

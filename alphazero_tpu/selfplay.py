@@ -53,6 +53,18 @@ def _make_root_counts_fn(game, apply_fn, mcts_cfg: MCTSConfig, mesh=None):
     bit-identical (tests/test_fused.py, tests/test_hybrid.py). ``mesh``
     runs the Pallas engines per-shard under shard_map (the XLA engine
     shards natively through GSPMD)."""
+    if getattr(mcts_cfg, "transposition", False):
+        # opt-in transposition-DAG dedup (deep-search deployments) runs on
+        # its dedicated engine — pure XLA, so it shards through GSPMD like
+        # the general engine
+        from alphazero_tpu.mcts.tt import make_tt_search_fn
+
+        tt_search = make_tt_search_fn(game, apply_fn, mcts_cfg)
+
+        def tt_root_counts(params, state, rng=None):
+            return tt_search(params, state, rng=rng).root_counts()
+
+        return tt_root_counts
     fused = make_fused_root_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     if fused is not None:
         return fused
@@ -101,6 +113,12 @@ def make_selfplay_fn(
     if reuse:
         # tree persistence across moves forces the XLA engine (the Pallas
         # kernels' VMEM trees live exactly one search) — see mcts/reuse.py
+        if getattr(mcts_cfg, "transposition", False):
+            raise ValueError(
+                "tree_reuse and transposition are mutually exclusive — "
+                "re-rooting compacts parent-edge trees (mcts/reuse.py), "
+                "which has no DAG equivalent"
+            )
         if getattr(mcts_cfg, "parallel_sims", 1) > 1:
             raise ValueError(
                 "tree_reuse runs on the XLA engine, which has no "
@@ -148,9 +166,11 @@ def make_selfplay_fn(
                 state,
             )
             if reuse:
-                # re-root through the played move (done games carry an
-                # inert tree; their samples are masked anyway)
+                # re-root through the played move; finished games keep a
+                # frozen state, so force them onto the fresh-init fallback
+                # rather than re-rooting a tree that no longer matches it
                 tree, reused = reroot(tree, action, state)
+                reused = reused & ~done
             now_done, tv = term_v(state)
             outcome = jnp.where(~done & now_done, tv, outcome)
             moves = moves + (~done).astype(jnp.int32)
