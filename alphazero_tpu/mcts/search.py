@@ -74,21 +74,15 @@ def dense_puct_scores(stats: jax.Array, cpuct: float) -> jax.Array:
     return jnp.where(p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u)
 
 
-def make_search_fn(
-    game,
-    apply_fn: ApplyFn,
-    cfg: MCTSConfig,
-    _ablate: str = "",
-):
-    """Build ``search(params, root_state, rng) -> Tree``.
-
-    ``root_state`` is a batched game-state pytree (leaves ``[B, ...]``).
-    The returned function is jit/vmap/shard_map-friendly: fixed shapes,
-    ``lax`` control flow only. Root priors are installed up front
-    (async_mcts.rs's intended first-expansion of the root, defect D1), with
-    optional Dirichlet exploration noise (not present in the reference;
-    off by default).
-    """
+def make_engine_parts(game, apply_fn: ApplyFn, cfg: MCTSConfig, _ablate: str = ""):
+    """The XLA engine's machinery, exposed for engines that share its tree
+    mechanics but score differently (mcts/gumbel.py): returns a dict with
+    ``select(tree, best_a_f, best_code) -> sel`` (the lockstep descent
+    along per-node best-action planes) and
+    ``expand_backup(params, tree, sel) -> (Tree, aux)`` (expansion + NN
+    eval + negamax backup; ``aux`` carries v_nn/exp_ok/slot for engines
+    that store extra per-node data). ``make_search_fn`` composes these
+    with the PUCT score pass."""
     A = game.num_actions
     C = cfg.nodes
     D = cfg.max_depth
@@ -126,25 +120,27 @@ def make_search_fn(
             out.append(acc.astype(leaf.dtype).reshape((oh.shape[0],) + shape))
         return jax.tree_util.tree_unflatten(t_def, out)
 
-    def _select(tree: Tree, score: jax.Array):
-        """Descend every tree to its frontier along the (frozen) dense
-        scores; record paths and the per-game disposition.
+    def best_planes(tree: Tree, score: jax.Array):
+        """Reduce dense per-edge scores to per-node best-action planes.
 
-        Because tree statistics are frozen during a descent, the PUCT
-        argmax is a function of the node alone — so ``best_a``/``best_code``
-        are reduced ONCE per simulation to [B, C] planes, and each descent
-        level costs two thin lane-selects instead of full [B, A, C] passes.
-        """
-        B = score.shape[0]
-        bidx = jnp.arange(B)
+        Because tree statistics are frozen during a descent, the argmax is
+        a function of the node alone — so ``best_a``/``best_code`` are
+        reduced ONCE per simulation to [B, C] planes, and each descent
+        level costs two thin lane-selects instead of full [B, A, C]
+        passes. Returns (best_a f32[B, C], best_code f32[B, C])."""
         code_plane = tree.stats[:, PLANE_CHILD]  # [B, A, C]
-
         best_a = jnp.argmax(score, axis=1)  # [B, C]
         oh_best = (
             jnp.arange(A)[None, :, None] == best_a[:, None, :]
         ).astype(jnp.float32)
         best_code = jnp.sum(code_plane * oh_best, axis=1)  # [B, C]
-        best_a_f = best_a.astype(jnp.float32)
+        return best_a.astype(jnp.float32), best_code
+
+    def _select(tree: Tree, best_a_f: jax.Array, best_code: jax.Array):
+        """Descend every tree to its frontier along the (frozen) per-node
+        best-action planes; record paths and the per-game disposition."""
+        B = best_a_f.shape[0]
+        bidx = jnp.arange(B)
 
         def cond(c):
             return jnp.any(c["active"])
@@ -198,23 +194,11 @@ def make_search_fn(
         }
         return jax.lax.while_loop(cond, body, init)
 
-    def _simulate(params, tree: Tree) -> Tree:
-        """One simulation for every game: select -> expand -> evaluate ->
-        backup (the vectorized search_iteration, async_mcts.rs:219-371)."""
+    def expand_backup(params, tree: Tree, sel, probe=jnp.float32(0.0)):
+        """Expansion + fused NN evaluation + negamax backup for a finished
+        descent ``sel`` — the engine's write half, shared by every scoring
+        rule. Returns ``(Tree, aux)`` with aux = (exp_ok, slot, v_nn)."""
         B = tree.stats.shape[0]
-        score = dense_puct_scores(tree.stats, cpuct)
-        sel = _select(tree, score)
-
-        # perf-attribution knobs: duplicate one stage with an epsilon
-        # perturbation (defeats CSE) and fold it in at 1e-20 weight (a
-        # numerical no-op); the marginal steady-state time is that stage's
-        # cost under full dynamics.
-        probe = jnp.float32(0.0)
-        if _ablate == "2xscore":
-            probe = dense_puct_scores(tree.stats, cpuct * (1 + 1e-7))[:, 0, 0].sum()
-        elif _ablate == "2xselect":
-            probe = _select(tree, score * (1 + 1e-7))["depth"].sum().astype(jnp.float32)
-
         # ---- EXPAND (async_mcts.rs:279-356, minus the lock protocol) ----
         oh_parent = onehot_lane(sel["exp_parent"])
         parent_state = select_state(tree.state, oh_parent)
@@ -345,7 +329,64 @@ def make_search_fn(
         )
 
         node = node.at[:, 1, 0].add(1e-20 * probe / (1e20 + jnp.abs(probe)))
-        return Tree(stats=stats, node=node, state=state, count=count, cursor=cursor)
+        out = Tree(stats=stats, node=node, state=state, count=count, cursor=cursor)
+        return out, (exp_ok, s, v_nn)
+
+    def _simulate(params, tree: Tree) -> Tree:
+        """One simulation for every game: select -> expand -> evaluate ->
+        backup (the vectorized search_iteration, async_mcts.rs:219-371)."""
+        score = dense_puct_scores(tree.stats, cpuct)
+        best_a_f, best_code = best_planes(tree, score)
+        sel = _select(tree, best_a_f, best_code)
+
+        # perf-attribution knobs: duplicate one stage with an epsilon
+        # perturbation (defeats CSE) and fold it in at 1e-20 weight (a
+        # numerical no-op); the marginal steady-state time is that stage's
+        # cost under full dynamics.
+        probe = jnp.float32(0.0)
+        if _ablate == "2xscore":
+            probe = dense_puct_scores(tree.stats, cpuct * (1 + 1e-7))[:, 0, 0].sum()
+        elif _ablate == "2xselect":
+            a2, c2 = best_planes(tree, score * (1 + 1e-7))
+            probe = _select(tree, a2, c2)["depth"].sum().astype(jnp.float32)
+
+        tree, _ = expand_backup(params, tree, sel, probe)
+        return tree
+
+    return {
+        "A": A,
+        "C": C,
+        "D": D,
+        "zero_heuristic": zero_heuristic,
+        "onehot_lane": onehot_lane,
+        "select_lane": select_lane,
+        "select_state": select_state,
+        "best_planes": best_planes,
+        "select": _select,
+        "expand_backup": expand_backup,
+        "simulate": _simulate,
+    }
+
+
+def make_search_fn(
+    game,
+    apply_fn: ApplyFn,
+    cfg: MCTSConfig,
+    _ablate: str = "",
+):
+    """Build ``search(params, root_state, rng) -> Tree``.
+
+    ``root_state`` is a batched game-state pytree (leaves ``[B, ...]``).
+    The returned function is jit/vmap/shard_map-friendly: fixed shapes,
+    ``lax`` control flow only. Root priors are installed up front
+    (async_mcts.rs's intended first-expansion of the root, defect D1), with
+    optional Dirichlet exploration noise (not present in the reference;
+    off by default).
+    """
+    A = game.num_actions
+    C = cfg.nodes
+    parts = make_engine_parts(game, apply_fn, cfg, _ablate)
+    _simulate = parts["simulate"]
 
     def search(
         params,
