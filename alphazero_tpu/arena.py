@@ -85,6 +85,15 @@ def make_arena_fn(
         return jnp.where(sel[:, None], lc, li), jnp.where(sel, vc, vi)
 
     transposition = getattr(mcts_cfg, "transposition", False)
+    gumbel = getattr(mcts_cfg, "gumbel", False)
+
+    if gumbel:
+        # Gumbel mode plays the sequential-halving winner; per-move Gumbel
+        # noise (k_tie) keeps arena games from collapsing onto one line
+        # (the role the temp-0 tie-break rng plays for the PUCT engines).
+        from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
+
+        gsearch = make_gumbel_search_fn(game, combined_apply, mcts_cfg)
 
     # fused path: when BOTH models can evaluate inside the Pallas kernel,
     # search each side's trees with its own fused call and row-select the
@@ -92,7 +101,7 @@ def make_arena_fn(
     # forward (the searching player uses their net for every leaf of their
     # search), at fused-kernel speed.
     fused_cand = fused_inc = None
-    if not transposition:
+    if not transposition and not gumbel:
         fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size, mesh=mesh)
         fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size, mesh=mesh)
     # the combined forward closes over the per-game cand_to_move row select,
@@ -100,10 +109,16 @@ def make_arena_fn(
     # boards — on a >1-device mesh the arena uses the XLA engine instead
     # (GSPMD shards mixed params/batch natively; arena cost is negligible)
     hybrid = None
-    if not transposition and (mesh is None or mesh.shape.get("data", 1) == 1):
+    if (
+        not transposition
+        and not gumbel
+        and (mesh is None or mesh.shape.get("data", 1) == 1)
+    ):
         hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size)
 
-    if transposition:
+    if gumbel:
+        root_counts = None
+    elif transposition:
         # deep-search DAG mode: both players search with dedup, through the
         # combined two-model forward (same semantics as the XLA branch)
         from alphazero_tpu.mcts.tt import make_tt_search_fn
@@ -151,11 +166,18 @@ def make_arena_fn(
         def move(carry, t):
             state, done, cand_to_move, winner_cand, is_draw, rng = carry
             rng, k_tie = jax.random.split(rng)
-            counts = root_counts((params_cand, params_inc, cand_to_move), state)
-            # greedy argmax play with random tie-break (temp = 0,
-            # coach.rs:356-371's |x| argmax closures)
-            pi = action_probs(counts, 0.0, k_tie)
-            action = jnp.argmax(pi, axis=-1)
+            if gumbel:
+                action = gsearch(
+                    (params_cand, params_inc, cand_to_move), state, k_tie
+                ).action
+            else:
+                counts = root_counts(
+                    (params_cand, params_inc, cand_to_move), state
+                )
+                # greedy argmax play with random tie-break (temp = 0,
+                # coach.rs:356-371's |x| argmax closures)
+                pi = action_probs(counts, 0.0, k_tie)
+                action = jnp.argmax(pi, axis=-1)
             nxt = step_v(state, action)
             state = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(

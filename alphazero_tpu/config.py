@@ -66,6 +66,24 @@ class MCTSConfig:
     #                              gathers per simulation the default
     #                              engines avoid (docs/PARITY.md).
 
+    gumbel: bool = False         # opt-in Gumbel sequential-halving search
+    #                              (Danihelka et al. 2022; mcts/gumbel.py) —
+    #                              no reference analogue. Guaranteed policy
+    #                              improvement at small num_sims: the root
+    #                              runs a Gumbel-top-m sequential-halving
+    #                              schedule, interior nodes the paper's
+    #                              deterministic rule, the played action is
+    #                              the halving winner (no temperature
+    #                              sampling; exploration = the Gumbel
+    #                              sample) and the policy target is the
+    #                              improved policy pi'. Use with num_sims
+    #                              in the 8-64 range.
+    gumbel_top_m: int = 16       # max root actions considered (clipped to
+    #                              the game's action count / legality)
+    gumbel_c_visit: float = 50.0  # sigma transform offset (paper's c_visit)
+    gumbel_value_scale: float = 0.1  # sigma scale on [0,1]-rescaled
+    #                              completed values (paper's c_scale)
+
     tree_reuse: bool = False     # carry the search tree across the moves of
     #                              an episode (the reference's per-episode
     #                              AsyncMcts persistence, coach.rs:104-157):

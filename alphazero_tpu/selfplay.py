@@ -110,7 +110,21 @@ def make_selfplay_fn(
     position to termination (or ``max_moves``) under one jit.
     """
     reuse = getattr(mcts_cfg, "tree_reuse", False)
-    if reuse:
+    gumbel = getattr(mcts_cfg, "gumbel", False)
+    if gumbel:
+        # Gumbel sequential-halving mode (mcts/gumbel.py): the played move
+        # is the halving winner (exploration = the per-move Gumbel sample,
+        # not a temperature), and the stored policy target is the improved
+        # policy pi' — a policy-improvement guarantee at small num_sims.
+        if reuse or getattr(mcts_cfg, "transposition", False):
+            raise ValueError(
+                "gumbel is its own root/interior scoring rule — it is "
+                "mutually exclusive with tree_reuse and transposition"
+            )
+        from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
+
+        gsearch = make_gumbel_search_fn(game, apply_fn, mcts_cfg)
+    elif reuse:
         # tree persistence across moves forces the XLA engine (the Pallas
         # kernels' VMEM trees live exactly one search) — see mcts/reuse.py
         if getattr(mcts_cfg, "transposition", False):
@@ -147,16 +161,22 @@ def make_selfplay_fn(
                 state, done, outcome, moves, rng = carry
             rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
 
-            if reuse:
-                tree = search.from_tree(params, tree, state, k_noise, reused)
-                counts = tree.root_counts()
+            if gumbel:
+                res = gsearch(params, state, k_noise)
+                pi = res.improved_pi
+                action = res.action
             else:
-                counts = root_counts(params, state, k_noise)
-            temp = jnp.where(t < sp_cfg.temp_threshold, 1.0, 0.0)
-            pi = action_probs(counts, temp, k_tie)
+                if reuse:
+                    tree = search.from_tree(params, tree, state, k_noise, reused)
+                    counts = tree.root_counts()
+                else:
+                    counts = root_counts(params, state, k_noise)
+                temp = jnp.where(t < sp_cfg.temp_threshold, 1.0, 0.0)
+                pi = action_probs(counts, temp, k_tie)
+                action = jax.random.categorical(
+                    k_act, jnp.log(pi + 1e-12), axis=-1
+                )
             feats = feat_v(state)
-
-            action = jax.random.categorical(k_act, jnp.log(pi + 1e-12), axis=-1)
             nxt = step_v(state, action)
             state = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(
@@ -245,7 +265,13 @@ def make_actor_step_fn(
     per-game episode accounting — callers that need exact value targets use
     ``make_selfplay_fn``; the bench only needs throughput).
     """
-    root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
+    gumbel = getattr(mcts_cfg, "gumbel", False)
+    if gumbel:
+        from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
+
+        gsearch = make_gumbel_search_fn(game, apply_fn, mcts_cfg)
+    else:
+        root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     B = batch_size
@@ -265,10 +291,17 @@ def make_actor_step_fn(
     def actor_step(params, carry, rng):
         state, move_count = carry
         k_noise, k_tie, k_act = jax.random.split(rng, 3)
-        counts = root_counts(params, state, k_noise)
-        temp = jnp.where(move_count < temp_threshold, 1.0, 0.0)
-        pi = action_probs(counts, temp, k_tie)
-        action = jax.random.categorical(k_act, jnp.log(pi + 1e-12), axis=-1)
+        if gumbel:
+            res = gsearch(params, state, k_noise)
+            pi = res.improved_pi
+            action = res.action
+        else:
+            counts = root_counts(params, state, k_noise)
+            temp = jnp.where(move_count < temp_threshold, 1.0, 0.0)
+            pi = action_probs(counts, temp, k_tie)
+            action = jax.random.categorical(
+                k_act, jnp.log(pi + 1e-12), axis=-1
+            )
         state = step_v(state, action)
         done, _ = term_v(state)
         move_count = jnp.where(done, 0, move_count + 1)
