@@ -65,7 +65,9 @@ from alphazero_tpu.mcts.tree import (
 )
 from alphazero_tpu.ops import masked_policy
 
-_NEG = jnp.float32(-1e30)
+# python float, not a jnp scalar: a module-level jnp constant would
+# initialize the backend at import time (see ops/policy.py)
+_NEG = -1e30
 
 
 def considered_visit_sequence(m: int, n: int) -> list:
