@@ -175,17 +175,40 @@ class Coach:
         if cfg.arena.anchor_interval:
             from alphazero_tpu.models import make_uniform_model
 
+            # the anchored-rating pass is a STANDARDIZED protocol: the
+            # pure-MCTS anchor (and the incumbent, in this pass only)
+            # always plays PUCT, even when training uses the gumbel
+            # engine — otherwise the anchor's strength (pinned at Elo 0)
+            # would silently shift with the training engine and anchored
+            # curves would stop being comparable across runs.
+            anchor_cfg = dataclasses.replace(arena_cfg, gumbel=False)
             self._anchor_arena = jax.jit(
                 make_arena_fn(
                     game,
                     apply_fn,
                     make_uniform_model(game).apply_fn,
-                    arena_cfg,
+                    anchor_cfg,
                     cfg.arena.num_games,
                     state_sharding=arena_sharding,
                     mesh=mesh,
                 )
             )
+            # incumbent-vs-pool rating matches ride the same standardized
+            # protocol as the anchor edges (one consistent match graph);
+            # this is the gate arena itself unless training runs gumbel
+            self._rating_arena = self._arena
+            if getattr(arena_cfg, "gumbel", False):
+                self._rating_arena = jax.jit(
+                    make_arena_fn(
+                        game,
+                        apply_fn,
+                        apply_fn,
+                        anchor_cfg,
+                        cfg.arena.num_games,
+                        state_sharding=arena_sharding,
+                        mesh=mesh,
+                    )
+                )
         # host-visible scalars out of sharded stats must come through a jit
         # (fully-replicated outputs): host-side jnp.sum over a sharded
         # global array is not addressable under multi-controller
@@ -441,7 +464,7 @@ class Coach:
             # the duration of its arena
             snap_vars = jax.device_put(snap_host, snap_shardings)
             with self.timer.phase("anchor"):
-                pr = self._arena(inc_vars, snap_vars, k_m)
+                pr = self._rating_arena(inc_vars, snap_vars, k_m)
                 jax.block_until_ready(pr.cand_wins)
             self.pool_matches.append(
                 {

@@ -255,3 +255,30 @@ def test_mutual_exclusions():
             MCTSConfig(gumbel=True, transposition=True),
             SelfPlayConfig(batch_size=2),
         )
+
+
+def test_coach_gumbel_with_anchored_rating():
+    """The anchored-rating pass must run (and stay on the standardized
+    PUCT protocol) when training uses the gumbel engine."""
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import (
+        ArenaConfig,
+        AZConfig,
+        ReplayConfig,
+        TrainConfig,
+    )
+    from alphazero_tpu.models import MLPNet
+
+    cfg = AZConfig(
+        mcts=MCTSConfig(num_sims=8, gumbel=True),
+        selfplay=SelfPlayConfig(batch_size=8, temp_threshold=5),
+        replay=ReplayConfig(capacity=2048),
+        train=TrainConfig(batch_size=16, steps_per_iteration=4),
+        arena=ArenaConfig(num_games=4, anchor_interval=1),
+        num_iterations=1,
+    )
+    coach = Coach(G, MLPNet(num_actions=G.num_actions, hidden=(16,)), cfg)
+    # the rating arenas are pinned to PUCT even though training is gumbel
+    assert coach._rating_arena is not coach._arena
+    (rec,) = coach.learn()
+    assert "anchor_win_rate" in rec and "anchored_elo" in rec
