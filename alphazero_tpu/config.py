@@ -110,6 +110,23 @@ class SelfPlayConfig:
     #                              (coach.rs:122-126)
     max_moves: Optional[int] = None  # defaults to game.max_moves
 
+    full_search_prob: Optional[float] = None  # playout cap randomization
+    #                              (KataGo, Wu 2020 §3.1; no reference
+    #                              analogue): per move-step, with this
+    #                              probability the batch searches at the
+    #                              FULL mcts.num_sims budget and records
+    #                              policy targets; otherwise it searches at
+    #                              cheap_sims (no Dirichlet noise) and the
+    #                              move advances the game with a VALUE-ONLY
+    #                              sample (pi target = zeros, which
+    #                              contributes zero policy loss — see
+    #                              train.py). Policy targets need deep
+    #                              search, value targets need many games;
+    #                              this buys games-per-compute. None = off.
+    cheap_sims: Optional[int] = None  # the reduced budget (required when
+    #                              full_search_prob is set); KataGo used
+    #                              ~num_sims/6 at full_search_prob=0.25
+
 
 @dataclasses.dataclass(frozen=True)
 class ReplayConfig:

@@ -111,6 +111,33 @@ def make_selfplay_fn(
     """
     reuse = getattr(mcts_cfg, "tree_reuse", False)
     gumbel = getattr(mcts_cfg, "gumbel", False)
+
+    # playout cap randomization (KataGo, Wu 2020 §3.1): per move-step a
+    # shared coin picks the FULL budget (policy target recorded) or the
+    # cheap budget (value-only sample: pi target = zeros, see train.py).
+    # The coin is per-step rather than per-game so each step stays ONE
+    # compiled search program (lax.cond) instead of running both budgets;
+    # marginally every position still gets full_search_prob odds of a
+    # policy target.
+    pcr = getattr(sp_cfg, "full_search_prob", None)
+    cheap_cfg = None
+    if pcr is not None:
+        import dataclasses as _dc
+
+        if sp_cfg.cheap_sims is None:
+            raise ValueError("full_search_prob requires cheap_sims")
+        if reuse:
+            raise ValueError(
+                "playout-cap randomization is incompatible with tree_reuse "
+                "(carried trees assume a fixed per-move budget/capacity)"
+            )
+        cheap_cfg = _dc.replace(
+            mcts_cfg,
+            num_sims=int(sp_cfg.cheap_sims),
+            max_nodes=None,
+            # KataGo disables root exploration noise on cheap searches
+            dirichlet_alpha=None,
+        )
     if gumbel:
         # Gumbel sequential-halving mode (mcts/gumbel.py): the played move
         # is the halving winner (exploration = the per-move Gumbel sample,
@@ -124,6 +151,11 @@ def make_selfplay_fn(
         from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
 
         gsearch = make_gumbel_search_fn(game, apply_fn, mcts_cfg)
+        gsearch_cheap = (
+            make_gumbel_search_fn(game, apply_fn, cheap_cfg)
+            if cheap_cfg is not None
+            else None
+        )
     elif reuse:
         # tree persistence across moves forces the XLA engine (the Pallas
         # kernels' VMEM trees live exactly one search) — see mcts/reuse.py
@@ -145,6 +177,11 @@ def make_selfplay_fn(
         reroot = make_reroot_fn(game, mcts_cfg.nodes)
     else:
         root_counts = _make_root_counts_fn(game, apply_fn, mcts_cfg, mesh=mesh)
+        root_counts_cheap = (
+            _make_root_counts_fn(game, apply_fn, cheap_cfg, mesh=mesh)
+            if cheap_cfg is not None
+            else None
+        )
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
     feat_v = jax.vmap(game.to_features)
@@ -159,16 +196,38 @@ def make_selfplay_fn(
                 state, tree, reused, done, outcome, moves, rng = carry
             else:
                 state, done, outcome, moves, rng = carry
-            rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
+            rng, k_noise, k_tie, k_act, k_coin = jax.random.split(rng, 5)
+            full = (
+                jax.random.bernoulli(k_coin, pcr) if pcr is not None else None
+            )
 
             if gumbel:
-                res = gsearch(params, state, k_noise)
-                pi = res.improved_pi
-                action = res.action
+                if full is None:
+                    res = gsearch(params, state, k_noise)
+                    action, pi = res.action, res.improved_pi
+                else:
+                    def _g_full(op):
+                        r = gsearch(*op)
+                        return r.action, r.improved_pi
+
+                    def _g_cheap(op):
+                        r = gsearch_cheap(*op)
+                        return r.action, jnp.zeros_like(r.improved_pi)
+
+                    action, pi = jax.lax.cond(
+                        full, _g_full, _g_cheap, (params, state, k_noise)
+                    )
             else:
                 if reuse:
                     tree = search.from_tree(params, tree, state, k_noise, reused)
                     counts = tree.root_counts()
+                elif full is not None:
+                    counts = jax.lax.cond(
+                        full,
+                        lambda op: root_counts(*op),
+                        lambda op: root_counts_cheap(*op),
+                        (params, state, k_noise),
+                    )
                 else:
                     counts = root_counts(params, state, k_noise)
                 temp = jnp.where(t < sp_cfg.temp_threshold, 1.0, 0.0)
@@ -176,6 +235,10 @@ def make_selfplay_fn(
                 action = jax.random.categorical(
                     k_act, jnp.log(pi + 1e-12), axis=-1
                 )
+                if full is not None:
+                    # cheap-search moves advance the game but emit a
+                    # VALUE-ONLY training sample (zero pi target)
+                    pi = jnp.where(full, pi, jnp.zeros_like(pi))
             feats = feat_v(state)
             nxt = step_v(state, action)
             state = jax.tree_util.tree_map(

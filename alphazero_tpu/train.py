@@ -90,7 +90,13 @@ def make_train_step(model, cfg: TrainConfig):
                 {"params": params}, feats, train=True, rngs={"dropout": rng}
             )
             new_bs = batch_stats
-        p_loss = optax.softmax_cross_entropy(logits, pi_t).mean()
+        # value-only samples (playout-cap randomization, selfplay.py) carry
+        # an all-zero pi target: their CE term is identically 0, and the
+        # normalizer counts only policy-bearing rows so the policy LR does
+        # not dilute with the cheap-search fraction
+        p_each = optax.softmax_cross_entropy(logits, pi_t)
+        has_pi = (jnp.sum(pi_t, axis=-1) > 0.5).astype(jnp.float32)
+        p_loss = jnp.sum(p_each * has_pi) / jnp.maximum(jnp.sum(has_pi), 1.0)
         v_loss = jnp.mean((v - v_t) ** 2)
         l2 = jnp.float32(0.0)
         if cfg.l2_scale > 0:
