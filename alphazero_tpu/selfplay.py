@@ -196,10 +196,14 @@ def make_selfplay_fn(
                 state, tree, reused, done, outcome, moves, rng = carry
             else:
                 state, done, outcome, moves, rng = carry
-            rng, k_noise, k_tie, k_act, k_coin = jax.random.split(rng, 5)
-            full = (
-                jax.random.bernoulli(k_coin, pcr) if pcr is not None else None
-            )
+            if pcr is not None:
+                rng, k_noise, k_tie, k_act, k_coin = jax.random.split(rng, 5)
+                full = jax.random.bernoulli(k_coin, pcr)
+            else:
+                # 4-way split kept verbatim so PCR-off trajectories stay
+                # bit-identical to earlier releases under the same seed
+                rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
+                full = None
 
             if gumbel:
                 if full is None:

@@ -256,3 +256,35 @@ def test_mesh_checkpoint_resume_preserves_shardings(tmp_path):
     # resumed coach trains on
     rec = resumed.run_iteration()
     assert rec["iteration"] == 2
+
+
+def test_sharded_gumbel_selfplay_matches_unsharded():
+    """The gumbel engine is pure XLA, so it must shard through GSPMD like
+    the general engine: value-identical under the 8-device mesh."""
+    net = make_uniform_model(G)
+    sp = make_selfplay_fn(
+        G,
+        net.apply_fn,
+        MCTSConfig(num_sims=8, max_depth=16, gumbel=True),
+        SelfPlayConfig(batch_size=16, temp_threshold=6),
+    )
+    key = jax.random.key(0)
+    traj_ref, stats_ref = jax.jit(sp)({}, key)
+
+    mesh = make_mesh()
+    data_p = NamedSharding(mesh, P(None, "data"))
+    sp_sharded = jax.jit(
+        sp,
+        out_shardings=(
+            jax.tree_util.tree_map(
+                lambda _: data_p, jax.eval_shape(sp, {}, key)[0]
+            ),
+            None,
+        ),
+    )
+    traj_sh, stats_sh = sp_sharded({}, key)
+    np.testing.assert_array_equal(np.asarray(traj_ref.pi), np.asarray(traj_sh.pi))
+    np.testing.assert_array_equal(
+        np.asarray(stats_ref.num_moves), np.asarray(stats_sh.num_moves)
+    )
+    assert len(traj_sh.pi.sharding.device_set) == 8
