@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--gumbel",
+        type=int,
+        default=None,
+        metavar="SIMS",
+        help="use the Gumbel sequential-halving engine (mcts/gumbel.py) "
+        "with this simulation budget — small budgets (8-32) are the point",
+    )
     args = ap.parse_args()
 
     import jax
@@ -106,6 +114,20 @@ def main():
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
             checkpoint_interval=5,
+        )
+
+    if args.gumbel is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            mcts=dataclasses.replace(
+                cfg.mcts,
+                gumbel=True,
+                num_sims=args.gumbel,
+                dirichlet_alpha=None,  # exploration comes from the Gumbel sample
+                parallel_sims=1,
+            ),
         )
 
     coach = Coach(game, model, cfg)
