@@ -58,17 +58,26 @@ def main():
     carry = init_carry()
     key = jax.random.key(0)
 
+    import numpy as np
+
+    def sync(x):
+        # host-fetch one row: block_until_ready can return early over the
+        # axon tunnel, but a fetch cannot complete before the computation
+        # (the row is data-dependent on the whole step chain)
+        jax.block_until_ready(x)
+        np.asarray(x[:1])
+
     # warmup: compile + 2 steps
     for i in range(2):
         key, sub = jax.random.split(key)
         carry, pi = step({}, carry, sub)
-    jax.block_until_ready(pi)
+    sync(pi)
 
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
         carry, pi = step({}, carry, sub)
-    jax.block_until_ready(pi)
+    sync(pi)
     dt = time.perf_counter() - t0
 
     env_steps = steps * batch
