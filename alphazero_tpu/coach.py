@@ -177,11 +177,15 @@ class Coach:
 
             # the anchored-rating pass is a STANDARDIZED protocol: the
             # pure-MCTS anchor (and the incumbent, in this pass only)
-            # always plays PUCT, even when training uses the gumbel
-            # engine — otherwise the anchor's strength (pinned at Elo 0)
-            # would silently shift with the training engine and anchored
-            # curves would stop being comparable across runs.
-            anchor_cfg = dataclasses.replace(arena_cfg, gumbel=False)
+            # always plays exact-PUCT K=1 on the pure tree, whatever
+            # engine training uses — otherwise the anchor's strength
+            # (pinned at Elo 0) would silently shift with the training
+            # engine (gumbel, the DAG's +32 Elo at 400 sims, K>1's
+            # −29..−40 Elo) and anchored curves would stop being
+            # comparable across runs.
+            anchor_cfg = dataclasses.replace(
+                arena_cfg, gumbel=False, transposition=False, parallel_sims=1
+            )
             self._anchor_arena = jax.jit(
                 make_arena_fn(
                     game,
@@ -195,9 +199,10 @@ class Coach:
             )
             # incumbent-vs-pool rating matches ride the same standardized
             # protocol as the anchor edges (one consistent match graph);
-            # this is the gate arena itself unless training runs gumbel
+            # this is the gate arena itself unless training uses a
+            # non-standard engine configuration
             self._rating_arena = self._arena
-            if getattr(arena_cfg, "gumbel", False):
+            if anchor_cfg != arena_cfg:
                 self._rating_arena = jax.jit(
                     make_arena_fn(
                         game,
@@ -484,8 +489,13 @@ class Coach:
         """Keep the newest snapshot; evict toward evenly spaced
         generations (drop the member whose neighbors are closest, never
         the newest). Snapshots are held as host (numpy) copies — HBM only
-        sees one of them at a time, during its anchored-pass arena."""
-        snap_vars = jax.device_get(snap_vars)
+        sees one of them at a time, during its anchored-pass arena.
+        ``host_copy`` (not plain ``device_get``) so model-sharded params
+        survive multi-controller runs, where a leaf can span
+        non-addressable devices."""
+        from alphazero_tpu.parallel.distributed import host_copy
+
+        snap_vars = host_copy(snap_vars)
         self.pool = [(g, v) for g, v in self.pool if g != gen_id]
         self.pool.append((gen_id, snap_vars))
         self.pool.sort(key=lambda t: t[0])

@@ -237,8 +237,20 @@ def make_tt_search_fn(game, apply_fn: ApplyFn, cfg: MCTSConfig):
             path = c["path"].at[bidx, slot].set(nxt, mode="drop")
 
             # transposition link record (applied post-loop): dedup'd edges
-            # point at the canonical node, terminal-coded like tree.py
-            is_link = active & unexp & hit
+            # point at the canonical node, terminal-coded like tree.py.
+            # A cyclic state graph can walk the SAME unexpanded edge twice
+            # within one descent (links are only applied post-loop, so the
+            # edge still reads as unexpanded the second time); the post-loop
+            # einsum ADD is not idempotent, so a duplicate record would
+            # corrupt the child-code plane — record each edge at most once
+            # (the probe is deterministic in-loop, duplicates carry an
+            # identical code, dropping them loses nothing).
+            dup = jnp.any(
+                (c["link_p"] == c["node"][:, None])
+                & (c["link_a"] == a[:, None]),
+                axis=1,
+            )
+            is_link = active & unexp & hit & ~dup
             link_code = jnp.where(canon_term, -2.0 - canon.astype(jnp.float32),
                                   canon.astype(jnp.float32))
             lslot = jnp.where(is_link, c["depth"], D)

@@ -179,6 +179,25 @@ def launch_local_multihost(
     return records
 
 
+def host_copy(tree: Any) -> Any:
+    """Fetch a (possibly globally sharded) pytree to host numpy.
+
+    ``jax.device_get`` raises on arrays spanning non-addressable devices
+    (multi-controller runs with model-sharded params); such leaves are
+    gathered across processes first so every process gets the full value.
+    """
+    from jax.experimental import multihost_utils
+
+    import numpy as np
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def replicate_host_value(x: Any, mesh) -> jax.Array:
     """Lift a host-local array (identical on every process, e.g. the PRNG
     key state) into a fully-replicated global array on ``mesh`` so that

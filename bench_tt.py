@@ -121,12 +121,12 @@ def selfplay_time(game, sims, batch, transposition, max_depth, seed, reps=3):
         make_selfplay_fn(game, net.apply_fn, cfg, SelfPlayConfig(batch_size=batch))
     )
     traj, stats = sp({}, jax.random.key(seed))  # compile
-    jax.block_until_ready(traj.pi)
+    np.asarray(traj.pi)  # sync (block_until_ready is a no-op on the tunnel)
     best = float("inf")
     for i in range(reps):
         t0 = time.perf_counter()
         traj, stats = sp({}, jax.random.key(seed + 1 + i))
-        jax.block_until_ready(traj.pi)
+        np.asarray(traj.pi)
         best = min(best, time.perf_counter() - t0)
     moves = int(jnp.sum(stats.num_moves))
     return best, moves
@@ -159,11 +159,9 @@ def main():
             tw, pw, dr = tw + a, pw + b, dr + c
         n = tw + pw + dr
         score = (tw + 0.5 * dr) / max(n, 1)
-        elo = (
-            400.0 * np.log10(score / (1 - score))
-            if 0 < score < 1
-            else float("inf")
-        )
+        eps = 1.0 / (2.0 * max(n, 1))
+        sc = min(max(score, eps), 1.0 - eps)
+        elo = 400.0 * np.log10(sc / (1.0 - sc))
         out.update(
             {
                 "games": n,

@@ -173,6 +173,34 @@ class TestEngineSemantics:
         assert (counts >= 0).all()
         assert int(np.asarray(tree.count).max()) <= 20
 
+    def test_cyclic_state_graph_links_each_edge_once(self):
+        """A cyclic game can walk the SAME unexpanded edge repeatedly
+        within one descent (links only materialize post-loop); the link
+        write must be idempotent or the child-code plane corrupts — a
+        duplicated ADD shifts codes to wrong-but-in-range node indices."""
+        from dummy_game import ToggleGame
+
+        game = ToggleGame()
+        model = make_uniform_model(game)
+        cfg = MCTSConfig(num_sims=6, max_depth=8, transposition=True)
+        search = jax.jit(make_tt_search_fn(game, model.apply_fn, cfg))
+        root = jax.vmap(lambda _: game.init())(jnp.arange(1))
+        tree = search({}, root)
+        assert int(tree.dedup[0]) > 0  # transpositions did fire
+        assert int(tree.count[0]) == 2  # only two distinct states exist
+        count = int(tree.count[0])
+        code = np.asarray(tree.pstats[0, 1])  # [A, C]
+        parity = np.asarray(
+            jax.tree_util.tree_leaves(tree.state)[0][0, 0]
+        )  # [C]
+        for c_slot in range(count):
+            for a in range(game.num_actions):
+                cd = code[a, c_slot]
+                if cd > -0.5:  # live child link
+                    child = int(cd)
+                    assert cd == child and child < count, f"corrupt code {cd}"
+                    assert parity[child] == 1 - parity[c_slot]
+
     def test_parallel_sims_rejected(self):
         game = ConnectFour()
         model = make_uniform_model(game)
