@@ -254,6 +254,37 @@ def test_anchored_rating_pass(tmp_path):
     assert len(resumed.pool) == 1
 
 
+def test_anchor_protocol_standardized_across_engines():
+    """The anchored-rating matches must ride the exact-PUCT K=1 pure-tree
+    protocol whatever engine training uses — otherwise the anchor's
+    pinned-at-0 strength shifts between runs and anchored curves stop
+    being comparable. With a non-standard arena engine config the coach
+    must build a SEPARATE standardized rating arena."""
+    import dataclasses
+
+    game = ConnectFour()
+    base = dataclasses.replace(
+        tiny_cfg(None, seed=3),
+        arena=ArenaConfig(num_games=4, update_threshold=0.6, num_sims=4,
+                          anchor_interval=1, pool_size=2),
+    )
+    model = lambda: MLPNet(num_actions=game.num_actions, hidden=(16,))
+
+    plain = Coach(game, model(), base)
+    assert plain._rating_arena is plain._arena  # already standardized
+
+    for variant in (
+        dataclasses.replace(base, mcts=dataclasses.replace(
+            base.mcts, transposition=True)),
+        dataclasses.replace(base, mcts=dataclasses.replace(
+            base.mcts, parallel_sims=2)),
+    ):
+        coach = Coach(game, model(), variant)
+        assert coach._rating_arena is not coach._arena, variant
+        rec = coach.run_iteration()  # the pass still runs end-to-end
+        assert "anchored_elo" in rec
+
+
 def test_pool_eviction_keeps_long_baseline():
     """With consecutive generations (continuous mode), eviction must keep
     a spread of old generations, not a sliding recency window."""
