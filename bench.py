@@ -39,6 +39,17 @@ from alphazero_tpu.selfplay import make_actor_step_fn
 BASELINE_TARGET = 100_000.0  # env-steps/s/chip (BASELINE.json north_star)
 
 
+def tunnel_sync(x):
+    """Wait for ``x``'s computation, tunnel-safe: block_until_ready can
+    return early over the axon tunnel, but a one-row host fetch cannot
+    complete before the computation (the row is data-dependent on the
+    whole step chain). Shared by every bench harness."""
+    import numpy as np
+
+    jax.block_until_ready(x)
+    np.asarray(x[:1])
+
+
 def main():
     # measured on v5e: 8192 games -> ~272k env-steps/s, 32768 -> ~288k,
     # 65536 -> ~292k (fixed per-move costs amortize across more lockstep
@@ -57,15 +68,7 @@ def main():
 
     carry = init_carry()
     key = jax.random.key(0)
-
-    import numpy as np
-
-    def sync(x):
-        # host-fetch one row: block_until_ready can return early over the
-        # axon tunnel, but a fetch cannot complete before the computation
-        # (the row is data-dependent on the whole step chain)
-        jax.block_until_ready(x)
-        np.asarray(x[:1])
+    sync = tunnel_sync
 
     # warmup: compile + 2 steps
     for i in range(2):

@@ -34,7 +34,6 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
-    import numpy as np
 
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
@@ -44,6 +43,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    from bench import tunnel_sync
 
     from alphazero_tpu.config import MCTSConfig
     from alphazero_tpu.games import ConnectFour
@@ -62,16 +63,18 @@ def main():
     net = make_uniform_model(game)
     cfg = MCTSConfig(num_sims=sims, max_depth=48)
 
-    def sync(x):
-        jax.block_until_ready(x)
-        np.asarray(x[:1])  # host fetch: tunnel-safe sync
+    sync = tunnel_sync
 
     results = []
     for n in counts:
         mesh = make_mesh(devices=devs[:n], axis_names=("data",))
         batch = per_dev * n
+        # mesh threaded through: the fused Pallas engine (the TPU path
+        # for this exact config) is a single-device program and needs its
+        # shard_map wrapper to ride a sharded jit
         init_carry, actor_step = make_actor_step_fn(
-            game, net.apply_fn, cfg, batch_size=batch, temp_threshold=15
+            game, net.apply_fn, cfg, batch_size=batch, temp_threshold=15,
+            mesh=mesh,
         )
         step = jax.jit(actor_step)
         carry = shard_batch(mesh, init_carry())

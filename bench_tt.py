@@ -120,13 +120,15 @@ def selfplay_time(game, sims, batch, transposition, max_depth, seed, reps=3):
     sp = jax.jit(
         make_selfplay_fn(game, net.apply_fn, cfg, SelfPlayConfig(batch_size=batch))
     )
+    from bench import tunnel_sync
+
     traj, stats = sp({}, jax.random.key(seed))  # compile
-    np.asarray(traj.pi)  # sync (block_until_ready is a no-op on the tunnel)
-    best = float("inf")
+    tunnel_sync(traj.pi)  # one-row fetch: syncs without timing a full
+    best = float("inf")   # [T, B, A] tunnel transfer
     for i in range(reps):
         t0 = time.perf_counter()
         traj, stats = sp({}, jax.random.key(seed + 1 + i))
-        np.asarray(traj.pi)
+        tunnel_sync(traj.pi)
         best = min(best, time.perf_counter() - t0)
     moves = int(jnp.sum(stats.num_moves))
     return best, moves

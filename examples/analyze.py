@@ -22,17 +22,7 @@ sys.path.insert(0, ".")
 sys.path.insert(0, "examples")
 
 
-def render(board):
-    import numpy as np
-
-    chars = {1: "X", -1: "O", 0: "."}
-    b = np.asarray(board)
-    h, w = b.shape
-    rows = [
-        f"{r:2d} |" + " ".join(chars[int(v)] for v in b[r]) + "|"
-        for r in range(h - 1, -1, -1)
-    ]
-    return "\n".join(rows) + "\n    " + " ".join(str(c % 10) for c in range(w))
+from boardio import render
 
 
 def main():
@@ -99,7 +89,10 @@ def main():
 
     side = "X" if ply % 2 == 0 else "O"
     print(f"{game.name} after [{args.moves.strip() or 'start'}], {side} to move")
-    print(render(state.board if ply % 2 == 0 else -np.asarray(state.board)))
+    print(render(
+        state.board if ply % 2 == 0 else -np.asarray(state.board),
+        flip_rows=args.game == "connect_four",
+    ))
 
     done, value = game.terminal(state)
     if bool(done):

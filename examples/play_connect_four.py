@@ -17,13 +17,11 @@ import sys
 sys.path.insert(0, ".")
 
 
-def render(board):
-    import numpy as np
+from boardio import render as _render
 
-    chars = {1: "X", -1: "O", 0: "."}
-    b = np.asarray(board)
-    rows = ["|" + " ".join(chars[int(v)] for v in b[r]) + "|" for r in range(5, -1, -1)]
-    return "\n".join(rows) + "\n " + " ".join(str(c) for c in range(7))
+
+def render(board):
+    return _render(board, flip_rows=True)
 
 
 def main():

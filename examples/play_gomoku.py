@@ -15,15 +15,7 @@ import sys
 sys.path.insert(0, ".")
 
 
-def render(board):
-    import numpy as np
-
-    chars = {1: "X", -1: "O", 0: "."}
-    b = np.asarray(board)
-    rows = [
-        f"{r} " + " ".join(chars[int(v)] for v in b[r]) for r in range(9)
-    ]
-    return "\n".join(rows) + "\n  " + " ".join(str(c) for c in range(9))
+from boardio import render
 
 
 def main():
