@@ -288,3 +288,25 @@ def test_sharded_gumbel_selfplay_matches_unsharded():
         np.asarray(stats_ref.num_moves), np.asarray(stats_sh.num_moves)
     )
     assert len(traj_sh.pi.sharding.device_set) == 8
+
+
+def test_host_copy_returns_numpy_for_sharded_trees():
+    """host_copy must hand back plain numpy for every leaf — sharded
+    jax.Arrays, replicated arrays, and already-host values alike (the
+    pool-snapshot fetch path, coach.py::_pool_insert)."""
+    from alphazero_tpu.parallel.distributed import host_copy
+
+    mesh = make_mesh()
+    sharded = shard_batch(mesh, jnp.arange(16.0).reshape(16, 1))
+    tree = {
+        "sharded": sharded,
+        "replicated": jax.device_put(
+            jnp.ones((3,)), NamedSharding(mesh, P())
+        ),
+        "host": np.arange(4),
+    }
+    out = host_copy(tree)
+    for leaf in jax.tree_util.tree_leaves(out):
+        assert isinstance(leaf, np.ndarray) and not isinstance(leaf, jax.Array)
+    np.testing.assert_array_equal(out["sharded"], np.arange(16.0).reshape(16, 1))
+    np.testing.assert_array_equal(out["replicated"], np.ones((3,)))
