@@ -79,13 +79,13 @@ def restore_checkpoint(
     path = _ckpt_path(directory, step)
 
     def abstractify(x):
-        sharding = None
         if isinstance(x, jax.Array) and getattr(x, "committed", False):
             sharding = x.sharding
-        elif partial:
-            # the PyTreeRestore path demands a concrete sharding for every
-            # leaf (StandardCheckpointer tolerates None); uncommitted
-            # templates restore to the default device
+        else:
+            # uncommitted templates restore to the default device; an
+            # explicit sharding (instead of letting Orbax read the saved
+            # one from file) keeps cross-backend restores working and
+            # silences the unsafe-restore warning on the single-device path
             sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         return jax.ShapeDtypeStruct(
             jnp.shape(x), jnp.asarray(x).dtype, sharding=sharding

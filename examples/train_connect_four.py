@@ -21,7 +21,11 @@ sys.path.insert(0, ".")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", choices=["smoke", "mlp", "full", "convnet"], default="smoke")
+    ap.add_argument(
+        "--preset",
+        choices=["smoke", "mlp", "full", "convnet", "economy"],
+        default="smoke",
+    )
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -105,6 +109,37 @@ def main():
                 anchor_interval=3,
             ),
             num_iterations=10,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    elif args.preset == "economy":
+        # the training-economy composition (docs/ROUND3.md): the flagship
+        # resnet driven by the Gumbel engine at a small budget (policy
+        # improvement guaranteed; +95/+38 Elo vs PUCT at 4/8 sims
+        # measured, bench_gumbel.py) plus KataGo-style playout-cap
+        # randomization (3/4 of moves search at 1/4 budget and emit
+        # value-only samples) — ~2.4x cheaper search per generated game
+        # than the full preset at comparable target quality
+        model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
+        cfg = AZConfig(
+            mcts=MCTSConfig(
+                num_sims=32, max_depth=48, gumbel=True, dirichlet_alpha=None
+            ),
+            selfplay=SelfPlayConfig(
+                batch_size=4096,
+                temp_threshold=15,
+                full_search_prob=0.25,
+                cheap_sims=8,
+            ),
+            replay=ReplayConfig(capacity=1 << 20),
+            train=TrainConfig(batch_size=1024, steps_per_iteration=512),
+            arena=ArenaConfig(
+                num_games=256,
+                update_threshold=0.55,
+                num_sims=50,
+                anchor_interval=5,
+            ),
+            num_iterations=50,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
         )
