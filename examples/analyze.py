@@ -28,7 +28,7 @@ from boardio import render
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--game", choices=("connect_four", "othello", "gomoku"),
+        "--game", choices=("connect_four", "othello", "gomoku", "hex"),
         default="connect_four",
     )
     ap.add_argument(
@@ -57,7 +57,7 @@ def main():
     from eval_checkpoints import load_side
 
     from alphazero_tpu.config import MCTSConfig
-    from alphazero_tpu.games import ConnectFour, Gomoku, Othello
+    from alphazero_tpu.games import ConnectFour, Gomoku, Hex, Othello
     from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
     from alphazero_tpu.mcts.search import make_search_fn
     from alphazero_tpu.mcts.tt import make_tt_search_fn
@@ -67,6 +67,7 @@ def main():
         "connect_four": ConnectFour,
         "othello": Othello,
         "gomoku": Gomoku,
+        "hex": Hex,
     }[args.game]()
     apply_fn, params, label = load_side(
         game, args.checkpoint_dir, args.model,
@@ -89,10 +90,15 @@ def main():
 
     side = "X" if ply % 2 == 0 else "O"
     print(f"{game.name} after [{args.moves.strip() or 'start'}], {side} to move")
-    print(render(
-        state.board if ply % 2 == 0 else -np.asarray(state.board),
-        flip_rows=args.game == "connect_four",
-    ))
+    if ply % 2 == 0:
+        display = np.asarray(state.board)
+    else:
+        # undo one canonical flip so X is always the first mover; hex's
+        # canonical form also transposes (games/hex.py)
+        display = -np.asarray(state.board)
+        if args.game == "hex":
+            display = display.T
+    print(render(display, flip_rows=args.game == "connect_four"))
 
     done, value = game.terminal(state)
     if bool(done):

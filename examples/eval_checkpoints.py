@@ -70,7 +70,7 @@ def load_side(game, ckpt_dir, model_kind, hidden, channels, blocks):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--game", choices=("connect_four", "othello", "gomoku"),
+    ap.add_argument("--game", choices=("connect_four", "othello", "gomoku", "hex"),
                     default="connect_four")
     ap.add_argument("--a", default=None, help="checkpoint dir for side A")
     ap.add_argument("--b", default=None, help="checkpoint dir for side B (default: pure MCTS)")
@@ -93,9 +93,10 @@ def main():
 
     from alphazero_tpu.arena import make_arena_fn
     from alphazero_tpu.config import MCTSConfig
-    from alphazero_tpu.games import ConnectFour, Gomoku, Othello
+    from alphazero_tpu.games import ConnectFour, Gomoku, Hex, Othello
 
-    game = {"connect_four": ConnectFour, "othello": Othello, "gomoku": Gomoku}[
+    game = {"connect_four": ConnectFour, "othello": Othello, "gomoku": Gomoku,
+            "hex": Hex}[
         args.game
     ]()
     apply_a, params_a, label_a = load_side(

@@ -38,7 +38,7 @@ sys.path.insert(0, "examples")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--game", choices=("connect_four", "othello", "gomoku"),
+        "--game", choices=("connect_four", "othello", "gomoku", "hex"),
         default="connect_four",
     )
     ap.add_argument("--kind", choices=("net", "policy"), default="policy")
@@ -66,13 +66,14 @@ def main():
     from eval_checkpoints import load_side
 
     from alphazero_tpu.config import MCTSConfig
-    from alphazero_tpu.games import ConnectFour, Gomoku, Othello
+    from alphazero_tpu.games import ConnectFour, Gomoku, Hex, Othello
     from alphazero_tpu.mcts.search import make_search_fn
 
     game = {
         "connect_four": ConnectFour,
         "othello": Othello,
         "gomoku": Gomoku,
+        "hex": Hex,
     }[args.game]()
     apply_fn, params, label = load_side(
         game, args.checkpoint_dir, args.model,

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Train AlphaZero on Hex 7x7 — the fourth game.
+
+Beyond the reference's scope (its only game is Connect-Four): Hex is a
+CONNECTION game — the win check is graph reachability (an on-device
+flood fill, games/hex.py) and the players' asymmetric goals are
+reconciled by a transpose-negate canonical form. No flat-ops kernel
+exists for reachability, so self-play rides the general XLA engine (the
+ladder's fallback) — or the Gumbel engine with ``--gumbel``. Everything
+else — coach, replay, learner, arena, anchored Elo, checkpoints — is
+the same machinery as the other games.
+
+Usage:
+  python examples/train_hex.py                   # smoke run
+  python examples/train_hex.py --preset mlp      # MLP training run
+  python examples/train_hex.py --preset full     # conv resnet run
+  python examples/train_hex.py --cpu             # force CPU
+"""
+
+import argparse
+import logging
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["smoke", "mlp", "full"], default="smoke")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--gumbel",
+        type=int,
+        default=None,
+        metavar="SIMS",
+        help="use the Gumbel sequential-halving engine (mcts/gumbel.py) "
+        "with this simulation budget — small budgets (8-32) are the point",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import (
+        ArenaConfig,
+        AZConfig,
+        MCTSConfig,
+        ReplayConfig,
+        SelfPlayConfig,
+        TrainConfig,
+    )
+    from alphazero_tpu.games import Hex
+    from alphazero_tpu.models import AZResNet, MLPNet
+
+    game = Hex()
+
+    if args.preset == "smoke":
+        model = MLPNet(num_actions=game.num_actions, hidden=(64,))
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=12, max_depth=24),
+            selfplay=SelfPlayConfig(batch_size=8, temp_threshold=8),
+            replay=ReplayConfig(capacity=1 << 14),
+            train=TrainConfig(batch_size=64, steps_per_iteration=16),
+            arena=ArenaConfig(num_games=8, update_threshold=0.55, num_sims=8),
+            num_iterations=2,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    elif args.preset == "mlp":
+        model = MLPNet(num_actions=game.num_actions, hidden=(256, 256))
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=50, max_depth=56, dirichlet_alpha=0.2),
+            selfplay=SelfPlayConfig(batch_size=256, temp_threshold=8),
+            replay=ReplayConfig(capacity=1 << 17),
+            train=TrainConfig(batch_size=512, steps_per_iteration=128),
+            arena=ArenaConfig(
+                num_games=64,
+                update_threshold=0.55,
+                num_sims=25,
+                anchor_interval=3,
+            ),
+            num_iterations=12,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    else:
+        model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
+        cfg = AZConfig(
+            mcts=MCTSConfig(num_sims=100, max_depth=56, dirichlet_alpha=0.2),
+            selfplay=SelfPlayConfig(batch_size=1024, temp_threshold=8),
+            replay=ReplayConfig(capacity=1 << 19),
+            train=TrainConfig(batch_size=1024, steps_per_iteration=512),
+            arena=ArenaConfig(
+                num_games=128,
+                update_threshold=0.55,
+                num_sims=50,
+                anchor_interval=5,
+            ),
+            num_iterations=30,
+            seed=args.seed,
+            checkpoint_dir=args.checkpoint_dir,
+            checkpoint_interval=5,
+        )
+
+    if args.gumbel is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            mcts=dataclasses.replace(
+                cfg.mcts,
+                gumbel=True,
+                num_sims=args.gumbel,
+                dirichlet_alpha=None,  # exploration comes from the Gumbel sample
+                parallel_sims=1,
+            ),
+        )
+
+    coach = Coach(game, model, cfg)
+    n = args.iterations if args.iterations is not None else cfg.num_iterations
+    records = coach.learn(n)
+    last = records[-1]
+    print(
+        f"done: iterations={last['iteration']} model_id={last['model_id']} "
+        f"anchored_elo={coach.anchored_ratings.get(coach.model_id, float('nan'))} "
+        f"replay={last['replay_size']}"
+    )
+
+
+if __name__ == "__main__":
+    main()
