@@ -50,6 +50,31 @@ def save_checkpoint(
     return path
 
 
+def prune_checkpoints(directory: str, keep: int) -> list:
+    """Delete all but the newest ``keep`` checkpoints (and their JSON
+    sidecars). Returns the pruned step numbers. Call from process 0 only
+    in multi-controller runs — and only after the save is finished
+    (``save_checkpoint`` blocks on wait_until_finished)."""
+    import shutil
+
+    if not os.path.isdir(directory) or keep < 1:
+        return []
+    steps = sorted(
+        int(m.group(1))
+        for name in os.listdir(directory)
+        if (m := _CKPT_RE.match(name))
+    )
+    pruned = steps[:-keep]
+    for step in pruned:
+        path = _ckpt_path(directory, step)
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.remove(path + ".json")
+        except FileNotFoundError:
+            pass
+    return pruned
+
+
 def latest_step(directory: str) -> Optional[int]:
     """Newest checkpoint step by numeric stem (the resume rule of
     coach.rs:61-76, applied to whole-state checkpoints)."""

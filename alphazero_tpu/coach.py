@@ -345,6 +345,12 @@ class Coach:
                 "pool_matches": self.pool_matches,
             },
         )
+        if self.cfg.keep_checkpoints and jax.process_index() == 0:
+            from alphazero_tpu.checkpoint import prune_checkpoints
+
+            prune_checkpoints(
+                self.cfg.checkpoint_dir, self.cfg.keep_checkpoints
+            )
 
     # ------------------------------------------------------------------
     def _split(self, n=2):

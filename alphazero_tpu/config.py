@@ -206,6 +206,15 @@ class AZConfig:
     #                              checkpoint bytes; large runs set k>1).
     #                              learn() always saves after its last
     #                              iteration regardless.
+    keep_checkpoints: Optional[int] = None  # retention: after every save,
+    #                              delete all but the newest k checkpoints
+    #                              (sidecars included). None keeps
+    #                              everything — the reference's behavior
+    #                              (it never pruned its .examples files,
+    #                              coach.rs:159-167); long production runs
+    #                              set a small k so the multi-GB
+    #                              replay-bearing checkpoints don't fill
+    #                              the disk.
     skip_first_selfplay: bool = False  # skip self-play on the first
     #                              iteration after (re)start when the replay
     #                              already holds samples — train directly on

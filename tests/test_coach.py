@@ -254,6 +254,28 @@ def test_anchored_rating_pass(tmp_path):
     assert len(resumed.pool) == 1
 
 
+def test_checkpoint_retention(tmp_path):
+    """keep_checkpoints prunes all but the newest k checkpoints (sidecars
+    too) and resume from the survivors is exact."""
+    import dataclasses
+    import os
+
+    from alphazero_tpu.checkpoint import latest_step
+
+    cfg = dataclasses.replace(tiny_cfg(tmp_path), keep_checkpoints=2)
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    coach.learn(4)
+    names = sorted(n for n in os.listdir(tmp_path) if n.startswith("ckpt_"))
+    assert names == ["ckpt_000003", "ckpt_000003.json",
+                     "ckpt_000004", "ckpt_000004.json"]
+    assert latest_step(str(tmp_path)) == 4
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    assert resumed.iteration == 4
+    assert resumed.model_id == coach.model_id
+
+
 def test_anchor_protocol_standardized_across_engines():
     """The anchored-rating matches must ride the exact-PUCT K=1 pure-tree
     protocol whatever engine training uses — otherwise the anchor's
