@@ -528,11 +528,40 @@ class Coach:
             del self.pool[best_i]
 
     def learn(self, num_iterations: Optional[int] = None):
-        """The outer loop (Coach::learn, coach.rs:169-396)."""
+        """The outer loop (Coach::learn, coach.rs:169-396).
+
+        Preemption-safe: SIGTERM (the TPU-pod eviction signal) is caught
+        for the duration of the loop; the in-flight iteration finishes,
+        the whole state checkpoints, and learn() returns normally — a
+        restarted Coach over the same checkpoint_dir resumes exactly.
+        The reference had no failure handling at all (SURVEY.md §5)."""
+        import logging
+        import signal
+        import threading
+
         n = num_iterations if num_iterations is not None else self.cfg.num_iterations
         records = []
-        for _ in range(n):
-            records.append(self.run_iteration())
-        if n and self.iteration % max(self.cfg.checkpoint_interval, 1) != 0:
-            self.save()  # the run's final state is always durable
+        caught = []
+        prev_handler = None
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda signum, frame: caught.append(signum)
+            )
+        try:
+            for _ in range(n):
+                records.append(self.run_iteration())
+                if caught:
+                    logging.getLogger(__name__).warning(
+                        "SIGTERM: checkpointing at iteration %d and "
+                        "stopping (resume from %s)",
+                        self.iteration,
+                        self.cfg.checkpoint_dir,
+                    )
+                    break
+            if records and self.iteration % max(self.cfg.checkpoint_interval, 1) != 0:
+                self.save()  # the run's final state is always durable
+        finally:
+            if in_main:
+                signal.signal(signal.SIGTERM, prev_handler)
         return records

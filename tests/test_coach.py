@@ -276,6 +276,55 @@ def test_checkpoint_retention(tmp_path):
     assert resumed.model_id == coach.model_id
 
 
+def test_learn_sigterm_checkpoints_and_stops(tmp_path):
+    """SIGTERM during learn(): the in-flight iteration finishes, the
+    whole state checkpoints, the process exits cleanly, and a new Coach
+    resumes from the saved iteration (TPU-pod preemption safety)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = f"""
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import logging
+logging.basicConfig(level=logging.INFO, format="%(message)s", stream=sys.stdout)
+sys.path.insert(0, {os.path.join(repo, "tests")!r})
+from test_coach import make_coach
+coach = make_coach({str(tmp_path)!r})
+records = coach.learn(50)
+print(f"FINISHED n={{len(records)}} iter={{coach.iteration}}")
+"""
+    p = subprocess.Popen(
+        [sys.executable, "-u", "-c", child],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    deadline = time.time() + 240
+    for line in p.stdout:
+        if "iter=1 " in line or line.startswith("iter=1"):
+            p.send_signal(signal.SIGTERM)
+            break
+        assert time.time() < deadline, "never saw iteration 1"
+    out, _ = p.communicate(timeout=240)
+    assert p.returncode == 0, out
+    assert "FINISHED" in out, out
+    n_done = int(out.rsplit("FINISHED n=", 1)[1].split()[0])
+    assert n_done < 50  # stopped early
+
+    from alphazero_tpu.checkpoint import latest_step
+
+    assert latest_step(str(tmp_path)) == n_done
+    resumed = make_coach(tmp_path)
+    assert resumed.iteration == n_done
+
+
 def test_anchor_protocol_standardized_across_engines():
     """The anchored-rating matches must ride the exact-PUCT K=1 pure-tree
     protocol whatever engine training uses — otherwise the anchor's
