@@ -534,7 +534,13 @@ class Coach:
         for the duration of the loop; the in-flight iteration finishes,
         the whole state checkpoints, and learn() returns normally — a
         restarted Coach over the same checkpoint_dir resumes exactly.
-        The reference had no failure handling at all (SURVEY.md §5)."""
+        The reference had no failure handling at all (SURVEY.md §5).
+
+        Caveat: the jitted iteration cannot be interrupted mid-flight, so
+        the eviction grace window must cover ONE iteration's wall time.
+        Configs whose iterations outlast the grace period should rely on
+        a small ``checkpoint_interval`` instead (at most one interval of
+        work is lost on hard kill)."""
         import logging
         import signal
         import threading
@@ -552,16 +558,30 @@ class Coach:
             for _ in range(n):
                 records.append(self.run_iteration())
                 if caught:
-                    logging.getLogger(__name__).warning(
-                        "SIGTERM: checkpointing at iteration %d and "
-                        "stopping (resume from %s)",
-                        self.iteration,
-                        self.cfg.checkpoint_dir,
-                    )
+                    log = logging.getLogger(__name__)
+                    if self.cfg.checkpoint_dir:
+                        log.warning(
+                            "SIGTERM: checkpointing at iteration %d and "
+                            "stopping (resume from %s)",
+                            self.iteration,
+                            self.cfg.checkpoint_dir,
+                        )
+                    else:
+                        log.warning(
+                            "SIGTERM: stopping at iteration %d — no "
+                            "checkpoint_dir configured, training state is "
+                            "NOT saved",
+                            self.iteration,
+                        )
                     break
             if records and self.iteration % max(self.cfg.checkpoint_interval, 1) != 0:
                 self.save()  # the run's final state is always durable
         finally:
             if in_main:
-                signal.signal(signal.SIGTERM, prev_handler)
+                # signal.signal returns None for handlers installed at the
+                # C level; restoring None would raise TypeError
+                signal.signal(
+                    signal.SIGTERM,
+                    prev_handler if prev_handler is not None else signal.SIG_DFL,
+                )
         return records

@@ -28,8 +28,13 @@ import sys
 sys.path.insert(0, ".")
 
 
-def load_side(game, ckpt_dir, model_kind, hidden, channels, blocks):
-    """Returns (apply_fn, params, label)."""
+def load_side(game, ckpt_dir, model_kind, hidden, channels, blocks,
+              allow_missing=False):
+    """Returns (apply_fn, params, label) — the one checkpoint/model
+    loading path shared by every example CLI (eval/analyze/export/play).
+    ``allow_missing=True`` falls back to the uniform prior when the
+    directory holds no checkpoint (the play CLIs' friendly behavior);
+    the default raises."""
     import jax
 
     from alphazero_tpu.models import (
@@ -56,6 +61,9 @@ def load_side(game, ckpt_dir, model_kind, hidden, channels, blocks):
     )
     step = latest_step(ckpt_dir)
     if step is None:
+        if allow_missing:
+            net = make_uniform_model(game)
+            return net.apply_fn, {}, f"pure-mcts (no checkpoint in {ckpt_dir})"
         raise SystemExit(f"no checkpoint found in {ckpt_dir}")
     payload, _ = restore_checkpoint(
         ckpt_dir, step, {"incumbent": tstate._asdict()}, partial=True

@@ -35,6 +35,7 @@ def main():
         help="architecture the checkpoint was trained with "
         "(mlp preset = mlp, full preset = resnet)",
     )
+    ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--human-first", action="store_true")
     args = ap.parse_args()
@@ -46,47 +47,18 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from alphazero_tpu.config import MCTSConfig, TrainConfig
+    from eval_checkpoints import load_side
+
+    from alphazero_tpu.config import MCTSConfig
     from alphazero_tpu.games import ConnectFour
     from alphazero_tpu.mcts import make_search_fn
-    from alphazero_tpu.models import (
-        AZResNet,
-        MLPNet,
-        make_flax_apply_fn,
-        make_uniform_model,
-    )
-    from alphazero_tpu.train import init_train_state, variables_of
 
     game = ConnectFour()
-
-    if args.checkpoint_dir:
-        from alphazero_tpu.checkpoint import latest_step, restore_checkpoint
-
-        if args.model == "resnet":
-            model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
-        else:
-            model = MLPNet(num_actions=game.num_actions, hidden=(256, 256))
-        tstate = init_train_state(
-            model, jax.random.key(0), game.feature_shape, TrainConfig()
-        )
-        step = latest_step(args.checkpoint_dir)
-        if step is None:
-            print(f"no checkpoint in {args.checkpoint_dir}; using uniform prior")
-            apply_fn, params = make_uniform_model(game).apply_fn, {}
-        else:
-            payload, _ = restore_checkpoint(
-                args.checkpoint_dir,
-                step,
-                {"incumbent": tstate._asdict()},
-                partial=True,
-            )
-            from alphazero_tpu.train import TrainState
-
-            tstate = TrainState(**payload["incumbent"])
-            apply_fn, params = make_flax_apply_fn(model), variables_of(tstate)
-            print(f"loaded checkpoint step {step}")
-    else:
-        apply_fn, params = make_uniform_model(game).apply_fn, {}
+    apply_fn, params, label = load_side(
+        game, args.checkpoint_dir, args.model, args.hidden, 64, 5,
+        allow_missing=True,
+    )
+    print(f"model: {label}")
 
     search = jax.jit(
         make_search_fn(game, apply_fn, MCTSConfig(num_sims=args.sims, max_depth=48))
@@ -115,7 +87,10 @@ def main():
             while True:
                 try:
                     a = int(input("your column: "))
-                except (ValueError, EOFError):
+                except EOFError:
+                    print("\nbye")
+                    return
+                except ValueError:
                     print("enter a column 0-6")
                     continue
                 if 0 <= a < 7 and valid[a]:

@@ -28,6 +28,7 @@ def main():
         default="mlp",
         help="architecture the checkpoint was trained with",
     )
+    ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--human-first", action="store_true")
     args = ap.parse_args()
@@ -38,47 +39,18 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
-    from alphazero_tpu.config import MCTSConfig, TrainConfig
+    from eval_checkpoints import load_side
+
+    from alphazero_tpu.config import MCTSConfig
     from alphazero_tpu.games import Gomoku
     from alphazero_tpu.mcts import make_search_fn
-    from alphazero_tpu.models import (
-        AZResNet,
-        MLPNet,
-        make_flax_apply_fn,
-        make_uniform_model,
-    )
-    from alphazero_tpu.train import init_train_state, variables_of
 
     game = Gomoku()
-
-    if args.checkpoint_dir:
-        from alphazero_tpu.checkpoint import latest_step, restore_checkpoint
-
-        if args.model == "resnet":
-            model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
-        else:
-            model = MLPNet(num_actions=game.num_actions, hidden=(512, 512))
-        tstate = init_train_state(
-            model, jax.random.key(0), game.feature_shape, TrainConfig()
-        )
-        step = latest_step(args.checkpoint_dir)
-        if step is None:
-            print(f"no checkpoint in {args.checkpoint_dir}; using uniform prior")
-            apply_fn, params = make_uniform_model(game).apply_fn, {}
-        else:
-            payload, _ = restore_checkpoint(
-                args.checkpoint_dir,
-                step,
-                {"incumbent": tstate._asdict()},
-                partial=True,
-            )
-            from alphazero_tpu.train import TrainState
-
-            tstate = TrainState(**payload["incumbent"])
-            apply_fn, params = make_flax_apply_fn(model), variables_of(tstate)
-            print(f"loaded checkpoint step {step}")
-    else:
-        apply_fn, params = make_uniform_model(game).apply_fn, {}
+    apply_fn, params, label = load_side(
+        game, args.checkpoint_dir, args.model, args.hidden, 64, 5,
+        allow_missing=True,
+    )
+    print(f"model: {label}")
 
     search = jax.jit(
         make_search_fn(game, apply_fn, MCTSConfig(num_sims=args.sims, max_depth=48))
@@ -104,11 +76,14 @@ def main():
         valid = np.asarray(game.valid_moves(state))
         if human_to_move:
             while True:
-                raw = input("your move (row col): ").strip()
                 try:
+                    raw = input("your move (row col): ").strip()
                     r, c = map(int, raw.split())
                     a = r * 9 + c
-                except (ValueError, EOFError):
+                except EOFError:
+                    print("\nbye")
+                    return
+                except ValueError:
                     print("enter `row col` (0-8)")
                     continue
                 if 0 <= a < 81 and valid[a]:

@@ -284,7 +284,6 @@ def test_learn_sigterm_checkpoints_and_stops(tmp_path):
     import signal
     import subprocess
     import sys
-    import time
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     child = f"""
@@ -300,19 +299,29 @@ coach = make_coach({str(tmp_path)!r})
 records = coach.learn(50)
 print(f"FINISHED n={{len(records)}} iter={{coach.iteration}}")
 """
+    import threading
+
     p = subprocess.Popen(
         [sys.executable, "-u", "-c", child],
         stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT,
         text=True,
     )
-    deadline = time.time() + 240
-    for line in p.stdout:
-        if "iter=1 " in line or line.startswith("iter=1"):
-            p.send_signal(signal.SIGTERM)
-            break
-        assert time.time() < deadline, "never saw iteration 1"
-    out, _ = p.communicate(timeout=240)
+    # hard watchdog: a silently-hanging child would block the readline
+    # loop forever; killing it turns a hang into a test failure
+    killer = threading.Timer(240, p.kill)
+    killer.start()
+    try:
+        saw_iter1 = False
+        for line in p.stdout:
+            if "iter=1 " in line or line.startswith("iter=1"):
+                saw_iter1 = True
+                p.send_signal(signal.SIGTERM)
+                break
+        assert saw_iter1, "never saw iteration 1"
+        out, _ = p.communicate(timeout=240)
+    finally:
+        killer.cancel()
     assert p.returncode == 0, out
     assert "FINISHED" in out, out
     n_done = int(out.rsplit("FINISHED n=", 1)[1].split()[0])
