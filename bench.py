@@ -51,6 +51,24 @@ def tunnel_sync(x):
 
 
 def main():
+    # backend init watchdog: with the axon tunnel down, device discovery
+    # hangs indefinitely — fail fast with a reason instead of eating the
+    # caller's whole timeout. (No CPU fallback on purpose: a CPU number
+    # must never be recorded as the chip metric.)
+    import threading
+
+    devs = []
+    t = threading.Thread(target=lambda: devs.extend(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("AZ_BENCH_INIT_TIMEOUT", 300)))
+    if not devs:
+        print(
+            "bench.py: backend init timed out — TPU tunnel down? "
+            "(no metric emitted; set AZ_BENCH_INIT_TIMEOUT to wait longer)",
+            file=sys.stderr,
+        )
+        return 1
+
     # measured on v5e: 8192 games -> ~272k env-steps/s, 32768 -> ~288k,
     # 65536 -> ~292k (fixed per-move costs amortize across more lockstep
     # games; the curve is flat past ~49k)
