@@ -93,6 +93,20 @@ def arm_config(cfg, arm):
             # the gate/rating arenas keep the baseline budget (arena
             # num_sims=25) so strength is measured identically
         )
+    if arm == "economy":
+        # gumbel + playout-cap composed (the `economy` training preset):
+        # 25% of move-steps run sequential halving at 32 sims with
+        # improved-policy targets, 75% cheap value-only moves at 8 —
+        # average 14 sims/move vs the baseline's 25
+        return dataclasses.replace(
+            cfg,
+            mcts=dataclasses.replace(
+                cfg.mcts, gumbel=True, num_sims=32, dirichlet_alpha=None
+            ),
+            selfplay=dataclasses.replace(
+                cfg.selfplay, full_search_prob=0.25, cheap_sims=8
+            ),
+        )
     raise SystemExit(f"unknown arm {arm}")
 
 
@@ -140,7 +154,7 @@ def main():
     ap.add_argument("--preset", choices=("cpu", "tpu"), default="cpu")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--arms", default="baseline,gumbel,pcr")
+    ap.add_argument("--arms", default="baseline,gumbel,pcr,economy")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
