@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Render the training-run artifacts in docs/runs/ as PNG figures.
+
+Two figures:
+  docs/runs/flagship_elo_curves.png   — anchored-Elo curves of the four
+      flagship training runs (one small-multiple panel per game; single
+      series per panel, so the panel title carries identity).
+  docs/runs/train_compare_curves.png  — the four-arm training-economy
+      comparison (experiments/train_compare.py) across three seeds, one
+      panel per seed, fixed arm->color order with direct end labels.
+
+Anchored Elo is the Bradley-Terry fit against the pure-MCTS anchor
+pinned at 0 (utils/elo.py::fit_elo) — the honest strength signal, not
+the inflationary per-gate ladder. Colors are the documented adjacent-
+pairlist-validated categorical order (slots 1-4); labels/values wear
+text ink, never series color.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+RUNS = os.path.join(os.path.dirname(__file__), "..", "docs", "runs")
+
+# categorical slots 1-4 (validated adjacent order, light mode)
+SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+SURFACE = "#fcfcfb"
+INK = "#0b0b0b"
+INK2 = "#52514e"
+GRID = "#e4e3df"
+
+
+def style_axes(ax):
+    ax.set_facecolor(SURFACE)
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+    for side in ("left", "bottom"):
+        ax.spines[side].set_color(GRID)
+    ax.grid(True, color=GRID, linewidth=0.8)
+    ax.set_axisbelow(True)
+    ax.tick_params(colors=INK2, labelsize=9)
+
+
+def load_curve(name, key="anchored_elo"):
+    xs, ys = [], []
+    with open(os.path.join(RUNS, name)) as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get(key) is not None:
+                xs.append(r["iteration"])
+                ys.append(r[key])
+    return xs, ys
+
+
+def flagship():
+    panels = [
+        ("Connect-Four · ResNet-64x5 · 100 iters (TPU v5e)",
+         "resnet_full_preset_100iter_anchored_folded_tpu_v5e.jsonl"),
+        ("Othello 8x8 · ResNet-64x5 · 60 iters (TPU v5e)",
+         "othello_resnet_continuous_60iter_anchored_folded_tpu_v5e.jsonl"),
+        ("Gomoku 9x9 · ResNet-64x5 · 15 iters (TPU v5e)",
+         "gomoku_resnet_full_15iter_tpu_v5e.jsonl"),
+        ("Hex 7x7 · MLP · 20 iters (CPU mesh)",
+         "hex_mlp_20iter_cpu.jsonl"),
+    ]
+    fig, axes = plt.subplots(1, 4, figsize=(14, 3.2), sharey=False)
+    fig.patch.set_facecolor(SURFACE)
+    for ax, (title, fname) in zip(axes, panels):
+        xs, ys = load_curve(fname)
+        style_axes(ax)
+        marker = "o" if len(xs) <= 6 else None
+        ax.plot(xs, ys, color=SERIES[0], linewidth=2, marker=marker, markersize=4)
+        ax.scatter(xs[-1:], ys[-1:], s=18, color=SERIES[0], zorder=3)
+        ax.annotate(f"{ys[-1]:.0f}", (xs[-1], ys[-1]), textcoords="offset points",
+                    xytext=(2, 6), fontsize=9, color=INK)
+        ax.set_title(title, fontsize=9.5, color=INK)
+        ax.set_xlabel("iteration", fontsize=9, color=INK2)
+    axes[0].set_ylabel("anchored Elo (pure MCTS = 0)", fontsize=9, color=INK2)
+    fig.tight_layout()
+    out = os.path.join(RUNS, "flagship_elo_curves.png")
+    fig.savefig(out, dpi=160, facecolor=SURFACE)
+    print("wrote", out)
+
+
+def train_compare():
+    seeds = [
+        ("seed 0", "train_compare_cpu.json"),
+        ("seed 1", "train_compare_cpu_s1.json"),
+        ("seed 2", "train_compare_cpu_s2.json"),
+    ]
+    arms = ["baseline", "gumbel", "pcr", "economy"]  # fixed color order
+    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6), sharey=True)
+    fig.patch.set_facecolor(SURFACE)
+    for ax, (label, fname) in zip(axes, seeds):
+        d = json.load(open(os.path.join(RUNS, fname)))
+        byarm = {r["arm"]: r for r in d["results"]}
+        style_axes(ax)
+        ends = []
+        for i, arm in enumerate(arms):
+            pts = [(c["iteration"], c["anchored_elo"])
+                   for c in byarm[arm]["curve"] if c.get("anchored_elo") is not None]
+            xs, ys = zip(*pts)
+            ax.plot(xs, ys, color=SERIES[i], linewidth=2, label=arm)
+            ends.append((arm, xs[-1], ys[-1]))
+        # direct end labels in text ink (slot-4 yellow is sub-3:1 on this
+        # surface; the label carries identity, not the color), vertically
+        # de-collided so stacked endpoints stay readable
+        ends.sort(key=lambda e: e[2])
+        min_sep = 55.0  # Elo units, ~one label height at this figure size
+        placed = []
+        for arm, x, y in ends:
+            ly = y if not placed else max(y, placed[-1] + min_sep)
+            placed.append(ly)
+            ax.annotate(arm, (x, ly), textcoords="offset points",
+                        xytext=(4, -3), fontsize=8, color=INK)
+        ax.set_title(label, fontsize=10, color=INK)
+        ax.set_xlabel("iteration", fontsize=9, color=INK2)
+    axes[0].set_ylabel("anchored Elo (pure MCTS = 0)", fontsize=9, color=INK2)
+    leg = axes[0].legend(loc="upper left", fontsize=8, frameon=False)
+    for t in leg.get_texts():
+        t.set_color(INK)
+    fig.suptitle("Training economy: PUCT baseline vs gumbel vs PCR vs economy "
+                 "(connect-four, 20-iteration CPU config)", fontsize=10, color=INK)
+    fig.tight_layout(rect=(0, 0, 1, 0.94))
+    out = os.path.join(RUNS, "train_compare_curves.png")
+    fig.savefig(out, dpi=160, facecolor=SURFACE)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    flagship()
+    train_compare()
