@@ -19,10 +19,17 @@ from dummy_game import CountingGame
 
 def test_games_satisfy_protocol():
     from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.games.gomoku import Gomoku
+    from alphazero_tpu.games.hex import Hex
     from alphazero_tpu.games.othello import Othello
 
-    for game in (ConnectFour(), Othello(), CountingGame()):
+    for game in (ConnectFour(), Othello(), Gomoku(), Hex(), CountingGame()):
         assert isinstance(game, Game)
+        # defect D13 (connect_four_game.rs:86-88 vs :219-220): the declared
+        # feature_shape must BE the built feature shape — one layout everywhere
+        feats = game.to_features(game.init())
+        assert tuple(feats.shape) == tuple(game.feature_shape), game
+        assert feats.dtype == jnp.float32
 
 
 def test_search_on_counting_game():
