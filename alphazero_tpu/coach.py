@@ -408,11 +408,12 @@ class Coach:
         self.iteration += 1
         anchor = None
         anchored_elo = None
+        anchored_se = None
         if (
             self._anchor_arena is not None
             and self.iteration % cfg.arena.anchor_interval == 0
         ):
-            anchor, anchored_elo = self._anchored_rating_pass()
+            anchor, anchored_elo, anchored_se = self._anchored_rating_pass()
 
         phases = self.timer.reset()
         record = {
@@ -437,6 +438,12 @@ class Coach:
                 if anchored_elo is not None
                 else {}
             ),
+            **(
+                # ±1 Fisher-information standard error of the anchored fit
+                {"anchored_elo_se": round(anchored_se, 2)}
+                if anchored_se is not None
+                else {}
+            ),
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }
         self.metrics.log(record)
@@ -454,7 +461,7 @@ class Coach:
         maximum-likelihood fit of ALL recorded matches against fixed and
         past opponents — they can go down, and they are comparable across
         the whole run."""
-        from alphazero_tpu.utils.elo import fit_elo
+        from alphazero_tpu.utils.elo import elo_standard_errors, fit_elo
 
         me = self.model_id
         inc_vars = variables_of(self.incumbent)
@@ -493,8 +500,11 @@ class Coach:
             )
 
         self.anchored_ratings = fit_elo(self.pool_matches, "anchor", 0.0)
+        se = elo_standard_errors(
+            self.pool_matches, "anchor", self.anchored_ratings
+        ).get(me)
         self._pool_insert(me, inc_vars)
-        return anchor_wr, self.anchored_ratings.get(me)
+        return anchor_wr, self.anchored_ratings.get(me), se
 
     def _pool_insert(self, gen_id, snap_vars) -> None:
         """Keep the newest snapshot; evict toward evenly spaced

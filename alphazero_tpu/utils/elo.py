@@ -147,3 +147,66 @@ def fit_elo(
     return {
         p: anchor_rating + _ELO_SCALE * math.log(s[p]) for p in players
     }
+
+
+def elo_standard_errors(
+    matches: Iterable[dict], anchor: object, ratings: Dict[object, float]
+) -> Dict[object, float]:
+    """Per-player standard errors (Elo points) for a :func:`fit_elo` fit.
+
+    Observed/expected Fisher information of the Bradley-Terry
+    log-likelihood in log-strength space: each aggregated pairing (p, q)
+    with n games at win probability π = s_p/(s_p+s_q) contributes
+    n·π·(1−π) to I[p,p] and I[q,q] and −n·π·(1−π) to I[p,q]. The anchor
+    is the pinned gauge, so its row/column are dropped before inversion;
+    SE(Elo_p) = (400/ln 10)·sqrt([I⁻¹]_pp). The same virtual half-draw
+    vs the anchor that :func:`fit_elo` adds is included, so the
+    information matrix is nonsingular even for sweep-only records (such
+    players report the correspondingly huge — honest — SE).
+    """
+    import numpy as np
+
+    games: Dict[Tuple[object, object], float] = {}
+    players: List[object] = []
+    seen = set()
+
+    def add_pair(i, j, n):
+        if n <= 0:
+            return
+        key = (i, j) if players.index(i) <= players.index(j) else (j, i)
+        games[key] = games.get(key, 0.0) + n
+
+    for m in matches:
+        a, b = m["a"], m["b"]
+        for p in (a, b):
+            if p not in seen:
+                seen.add(p)
+                players.append(p)
+        add_pair(a, b, m["wins_a"] + m["wins_b"] + m["draws"])
+    if anchor not in seen:
+        seen.add(anchor)
+        players.append(anchor)
+    for p in players:
+        if p != anchor:
+            add_pair(p, anchor, 0.5)  # fit_elo's virtual half-draw
+
+    free = [p for p in players if p != anchor and p in ratings]
+    if not free:
+        return {}
+    idx = {p: k for k, p in enumerate(free)}
+    info = np.zeros((len(free), len(free)))
+    for (p, q), n in games.items():
+        # win prob from the FITTED ratings (gauge-invariant difference)
+        d = (ratings.get(p, 0.0) - ratings.get(q, 0.0)) / _ELO_SCALE
+        pi = 1.0 / (1.0 + math.exp(-d))
+        w = n * pi * (1.0 - pi)
+        if p in idx:
+            info[idx[p], idx[p]] += w
+        if q in idx:
+            info[idx[q], idx[q]] += w
+        if p in idx and q in idx:
+            info[idx[p], idx[q]] -= w
+            info[idx[q], idx[p]] -= w
+    cov = np.linalg.pinv(info)
+    var = np.clip(np.diag(cov), 0.0, None)
+    return {p: float(_ELO_SCALE * math.sqrt(var[idx[p]])) for p in free}

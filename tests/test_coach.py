@@ -213,6 +213,48 @@ def test_fit_elo_anchored_ml():
     assert np.isfinite(r3[3]) and r3[3] > 300
 
 
+def test_elo_standard_errors():
+    """Fisher-information SEs of the anchored fit: the two-player even
+    match reproduces the analytic SE, quadrupling the games halves it,
+    and a sweep-only record reports an honestly huge uncertainty."""
+    import math
+
+    from alphazero_tpu.utils.elo import _ELO_SCALE, elo_standard_errors, fit_elo
+
+    def se_of(n_games):
+        ms = [
+            {
+                "a": 1,
+                "b": "anchor",
+                "wins_a": n_games // 2,
+                "wins_b": n_games // 2,
+                "draws": 0,
+            }
+        ]
+        return elo_standard_errors(ms, "anchor", fit_elo(ms, "anchor"))[1]
+
+    # even score, rating 0: info = n·0.25 + virtual 0.5·0.25
+    for n in (100, 400):
+        assert abs(se_of(n) - _ELO_SCALE / math.sqrt(0.25 * n + 0.125)) < 1e-6
+    assert abs(se_of(400) - se_of(100) / 2) < 1.0  # 4x games ≈ half the SE
+
+    # a swept match says little about HOW much stronger: SE stays large
+    sweep = [{"a": 1, "b": "anchor", "wins_a": 10, "wins_b": 0, "draws": 0}]
+    assert elo_standard_errors(sweep, "anchor", fit_elo(sweep, "anchor"))[1] > 200
+
+    # multi-player graph: every free player gets a finite positive SE
+    ms = [
+        {"a": 1, "b": "anchor", "wins_a": 30, "wins_b": 10, "draws": 0},
+        {"a": 2, "b": "anchor", "wins_a": 10, "wins_b": 30, "draws": 0},
+        {"a": 1, "b": 2, "wins_a": 25, "wins_b": 15, "draws": 0},
+    ]
+    ses = elo_standard_errors(ms, "anchor", fit_elo(ms, "anchor"))
+    assert set(ses) == {1, 2}
+    assert all(np.isfinite(s) and s > 0 for s in ses.values())
+    # the anchor is the gauge — no SE for it
+    assert "anchor" not in ses
+
+
 def test_anchored_rating_pass(tmp_path):
     """Every anchor_interval iterations the coach plays the pure-MCTS
     anchor + the snapshot pool, refits anchored Elo, and persists the
@@ -236,6 +278,7 @@ def test_anchored_rating_pass(tmp_path):
     for rec in recs:
         assert "anchor_win_rate" in rec
         assert "anchored_elo" in rec and np.isfinite(rec["anchored_elo"])
+        assert "anchored_elo_se" in rec and rec["anchored_elo_se"] > 0
     # pool capped at pool_size, newest generation always kept
     assert len(coach.pool) == 2
     assert coach.pool[-1][0] == coach.model_id
