@@ -24,6 +24,7 @@ from alphazero_tpu.config import (
     AZConfig,
     ArenaConfig,
     MCTSConfig,
+    ReanalyzeConfig,
     ReplayConfig,
     SelfPlayConfig,
     TrainConfig,
@@ -35,6 +36,7 @@ __all__ = [
     "AZConfig",
     "ArenaConfig",
     "MCTSConfig",
+    "ReanalyzeConfig",
     "ReplayConfig",
     "SelfPlayConfig",
     "TrainConfig",

@@ -96,8 +96,19 @@ class Coach:
         )
         init_replay_fn = lambda: replay_init(game, cfg.replay)
 
-        sp_fn = make_selfplay_fn(game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh)
+        rz_cfg = cfg.reanalyze
+        sp_fn = make_selfplay_fn(
+            game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh,
+            record_states=rz_cfg is not None,
+        )
         insert_fn = lambda r, t: replay_insert(r, game, t)
+        if rz_cfg is not None:
+            from alphazero_tpu.reanalyze import (
+                make_reanalyze_fn, position_init, position_insert,
+            )
+
+            rz_fn = make_reanalyze_fn(game, apply_fn, cfg.mcts, rz_cfg, mesh=mesh)
+            pos_init_fn = lambda: position_init(game, rz_cfg.capacity)
         train_fn = make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
         # arena evaluation is noise-free greedy play: strip root Dirichlet
         # (with it, the search would demand an rng the arena never supplies)
@@ -107,6 +118,8 @@ class Coach:
             dirichlet_alpha=None,
         )
 
+        self.positions = None
+        self._reanalyze = None
         if mesh is None:
             self.incumbent = init_state_fn()
             self.replay = init_replay_fn()
@@ -116,6 +129,10 @@ class Coach:
             # traffic per iteration at production sizes)
             self._insert = jax.jit(insert_fn, donate_argnums=0)
             self._train_phase = jax.jit(train_fn)
+            if rz_cfg is not None:
+                self.positions = pos_init_fn()
+                self._reanalyze = jax.jit(rz_fn)
+                self._pos_insert = jax.jit(position_insert, donate_argnums=0)
             arena_sharding = None
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -147,19 +164,48 @@ class Coach:
             self.incumbent = jax.jit(init_state_fn, out_shardings=tstate_sh)()
             self.replay = jax.jit(init_replay_fn, out_shardings=replay_sh)()
 
-            traj_sd, stats_sd = jax.eval_shape(
+            sp_sd = jax.eval_shape(
                 sp_fn, variables_of(self.incumbent), jax.random.key(0)
             )
-            self._selfplay = jax.jit(
-                sp_fn,
-                out_shardings=(
-                    jax.tree_util.tree_map(lambda _: data_tb, traj_sd),
-                    jax.tree_util.tree_map(lambda _: data_b, stats_sd),
-                ),
+            sp_sh = (
+                jax.tree_util.tree_map(lambda _: data_tb, sp_sd[0]),
+                jax.tree_util.tree_map(lambda _: data_b, sp_sd[1]),
             )
+            if rz_cfg is not None:
+                # recorded root states are [T, B, ...] like the trajectory
+                sp_sh = sp_sh + (
+                    jax.tree_util.tree_map(lambda _: data_tb, sp_sd[2]),
+                )
+            self._selfplay = jax.jit(sp_fn, out_shardings=sp_sh)
             self._insert = jax.jit(
                 insert_fn, out_shardings=replay_sh, donate_argnums=0
             )
+            if rz_cfg is not None:
+                from alphazero_tpu.reanalyze import PositionStore
+
+                pos_sd = jax.eval_shape(pos_init_fn)
+                pos_sh = PositionStore(
+                    states=jax.tree_util.tree_map(
+                        lambda _: data_b, pos_sd.states
+                    ),
+                    value=data_b,
+                    pos=repl,
+                    size=repl,
+                )
+                self.positions = jax.jit(pos_init_fn, out_shardings=pos_sh)()
+                self._reanalyze = jax.jit(
+                    rz_fn,
+                    out_shardings=(
+                        jax.tree_util.tree_map(lambda _: data_tb, jax.eval_shape(
+                            rz_fn, variables_of(self.incumbent),
+                            pos_sd, jax.random.key(0),
+                        )[0]),
+                        repl,
+                    ),
+                )
+                self._pos_insert = jax.jit(
+                    position_insert, out_shardings=pos_sh, donate_argnums=0
+                )
             self._train_phase = jax.jit(
                 train_fn, out_shardings=(tstate_sh, repl)
             )
@@ -273,23 +319,48 @@ class Coach:
             from alphazero_tpu.parallel import replicate_host_value
 
             rng_data = replicate_host_value(rng_data, self.mesh)
-        return {
+        payload = {
             "incumbent": self.incumbent._asdict(),
             "replay": self.replay._asdict(),
             "rng": rng_data,
         }
+        if self.positions is not None:
+            # the reanalyze position ring resumes exactly with the run
+            payload["positions"] = self.positions._asdict()
+        return payload
 
     def _maybe_resume(self) -> None:
         step = latest_step(self.cfg.checkpoint_dir)
         if step is None:
             return
-        payload, sidecar = restore_checkpoint(
-            self.cfg.checkpoint_dir, step, self._payload()
-        )
+        template = self._payload()
+        try:
+            payload, sidecar = restore_checkpoint(
+                self.cfg.checkpoint_dir, step, template
+            )
+        except Exception:
+            if "positions" not in template:
+                raise
+            # checkpoint predates reanalyze (no position ring saved):
+            # restore everything else and start the ring empty
+            template.pop("positions")
+            payload, sidecar = restore_checkpoint(
+                self.cfg.checkpoint_dir, step, template
+            )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint has no reanalyze position store — resuming "
+                "with an empty ring (it repopulates from self-play)"
+            )
         self.incumbent = TrainState(**payload["incumbent"])
         from alphazero_tpu.replay import ReplayState
 
         self.replay = ReplayState(**payload["replay"])
+        if "positions" in payload:
+            from alphazero_tpu.reanalyze import PositionStore
+
+            self.positions = PositionStore(**payload["positions"])
         self.rng = jax.random.wrap_key_data(payload["rng"])
         if sidecar:
             self.iteration = sidecar.get("iteration", step)
@@ -376,7 +447,8 @@ class Coach:
         selfplay_truncated = 0
         if not skip_sp:
             with self.timer.phase("selfplay"):
-                traj, stats = self._selfplay(variables_of(self.incumbent), k_sp)
+                sp_out = self._selfplay(variables_of(self.incumbent), k_sp)
+                traj, stats = sp_out[0], sp_out[1]
                 jax.block_until_ready(traj.features)
             moves_sum, trunc_sum = self._stats_reduce(stats.num_moves, stats.done)
             selfplay_moves = int(moves_sum)
@@ -385,9 +457,26 @@ class Coach:
             selfplay_truncated = int(trunc_sum)
             with self.timer.phase("replay_insert"):
                 self.replay = self._insert(self.replay, traj)
+                if self._reanalyze is not None:
+                    self.positions = self._pos_insert(
+                        self.positions, sp_out[2], traj.value, traj.valid
+                    )
                 jax.block_until_ready(self.replay.pos)
             if self.example_store is not None:
                 self._archive_examples(traj)
+        reanalyzed = None
+        if (
+            self._reanalyze is not None
+            and (self.iteration + 1) % cfg.reanalyze.interval == 0
+        ):
+            (k_rz,) = self._split(1)
+            with self.timer.phase("reanalyze"):
+                rz_traj, rz_num = self._reanalyze(
+                    variables_of(self.incumbent), self.positions, k_rz
+                )
+                self.replay = self._insert(self.replay, rz_traj)
+                jax.block_until_ready(self.replay.pos)
+            reanalyzed = int(rz_num)
         with self.timer.phase("train"):
             candidate, losses = self._train_phase(self.incumbent, self.replay, k_train)
             jax.block_until_ready(losses)
@@ -432,6 +521,7 @@ class Coach:
             "selfplay_moves": selfplay_moves,
             "selfplay_truncated": selfplay_truncated,
             "eval_folded": self._eval_folded,
+            **({"reanalyzed": reanalyzed} if reanalyzed is not None else {}),
             **({"anchor_win_rate": round(anchor, 4)} if anchor is not None else {}),
             **(
                 {"anchored_elo": round(anchored_elo, 2)}

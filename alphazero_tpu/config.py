@@ -189,6 +189,29 @@ class ArenaConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ReanalyzeConfig:
+    """Replay-target refresh by re-search (no reference analogue; the
+    MuZero-Reanalyze / SampledMuZero idea specialized to AlphaZero-style
+    terminal-outcome training).
+
+    Self-play additionally records every sampled position's canonical
+    STATE (not just its features) into a position ring. Every ``interval``
+    iterations the coach re-searches ``batch_size`` stored positions with
+    the CURRENT net at the full budget, noise-free, and inserts the
+    refreshed samples into the replay: policy target = the fresh root
+    visit distribution, value target = the position's original game
+    outcome (ground truth for board games — only the policy is stale).
+    Old positions thereby keep contributing learner-grade policy targets
+    as the net improves, buying sample efficiency at the cost of one
+    extra batched search per pass."""
+
+    batch_size: int = 1024       # positions re-searched per pass
+    interval: int = 1            # run the pass every k coach iterations
+    capacity: int = 1 << 16      # position-ring slots (pre-symmetry)
+    num_sims: Optional[int] = None  # re-search budget; defaults to MCTS's
+
+
+@dataclasses.dataclass(frozen=True)
 class AZConfig:
     """Top-level run configuration."""
 
@@ -197,6 +220,9 @@ class AZConfig:
     replay: ReplayConfig = dataclasses.field(default_factory=ReplayConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     arena: ArenaConfig = dataclasses.field(default_factory=ArenaConfig)
+    reanalyze: Optional[ReanalyzeConfig] = None  # replay-target refresh by
+    #                              re-search (off by default; see
+    #                              ReanalyzeConfig)
     num_iterations: int = 10     # coach outer-loop iterations (num_iters,
     #                              examples/connect_four.rs:66)
     seed: int = 0

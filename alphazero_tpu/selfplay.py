@@ -103,11 +103,19 @@ def make_selfplay_fn(
     mcts_cfg: MCTSConfig,
     sp_cfg: SelfPlayConfig,
     mesh=None,
+    record_states: bool = False,
 ) -> Callable[[Any, jax.Array], Tuple[Trajectory, SelfPlayStats]]:
     """Build ``play_games(params, rng) -> (Trajectory, SelfPlayStats)``.
 
     The returned function plays ``sp_cfg.batch_size`` games from the initial
     position to termination (or ``max_moves``) under one jit.
+
+    ``record_states=True`` (the reanalyze feed, see reanalyze.py) makes it
+    return ``(Trajectory, SelfPlayStats, states)`` where ``states`` is the
+    [T, B, ...] pytree of each sample's canonical root state — the exact
+    position the sample's features/targets were taken from. It only adds
+    a scan output; rng streams and the trajectory stay bit-identical to
+    ``record_states=False`` under the same seed.
     """
     reuse = getattr(mcts_cfg, "tree_reuse", False)
     gumbel = getattr(mcts_cfg, "gumbel", False)
@@ -244,6 +252,7 @@ def make_selfplay_fn(
                     # VALUE-ONLY training sample (zero pi target)
                     pi = jnp.where(full, pi, jnp.zeros_like(pi))
             feats = feat_v(state)
+            root_state = state  # pre-step: the position the sample is from
             nxt = step_v(state, action)
             state = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(
@@ -268,7 +277,10 @@ def make_selfplay_fn(
                 if reuse
                 else (state, done, outcome, moves, rng)
             )
-            return out_carry, (feats, pi, emitted_valid)
+            ys = (feats, pi, emitted_valid)
+            if record_states:
+                ys = ys + (root_state,)
+            return out_carry, ys
 
         carry0 = (
             init_state,
@@ -283,13 +295,15 @@ def make_selfplay_fn(
                 init_tree(game, init_state, mcts_cfg.nodes),
                 jnp.zeros((B,), bool),
             ) + carry0[1:]
-            (state, _, _, done, outcome, moves, _), (feats, pis, valid) = (
-                jax.lax.scan(move, carry0, jnp.arange(T))
-            )
-        else:
-            (state, done, outcome, moves, _), (feats, pis, valid) = jax.lax.scan(
+            (state, _, _, done, outcome, moves, _), ys = jax.lax.scan(
                 move, carry0, jnp.arange(T)
             )
+        else:
+            (state, done, outcome, moves, _), ys = jax.lax.scan(
+                move, carry0, jnp.arange(T)
+            )
+        feats, pis, valid = ys[:3]
+        states = ys[3] if record_states else None
 
         # Outcome from each sample's perspective: sample t's player sits
         # (moves - t) plies before the terminal to-move player; odd distance
@@ -307,7 +321,10 @@ def make_selfplay_fn(
         value = sign * outcome[None, :] * valid
 
         traj = Trajectory(features=feats, pi=pis, value=value, valid=valid)
-        return traj, SelfPlayStats(outcome=outcome, num_moves=moves, done=done)
+        stats = SelfPlayStats(outcome=outcome, num_moves=moves, done=done)
+        if record_states:
+            return traj, stats, states
+        return traj, stats
 
     return play_games
 

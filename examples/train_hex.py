@@ -39,6 +39,15 @@ def main():
         help="use the Gumbel sequential-halving engine (mcts/gumbel.py) "
         "with this simulation budget — small budgets (8-32) are the point",
     )
+    ap.add_argument(
+        "--reanalyze",
+        type=int,
+        default=None,
+        metavar="BATCH",
+        help="refresh this many stored positions' policy targets per "
+        "iteration by re-searching them with the current net "
+        "(reanalyze.py; value targets stay the game outcome)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -120,6 +129,19 @@ def main():
                 num_sims=args.gumbel,
                 dirichlet_alpha=None,  # exploration comes from the Gumbel sample
                 parallel_sims=1,
+            ),
+        )
+
+    if args.reanalyze is not None:
+        import dataclasses
+
+        from alphazero_tpu.config import ReanalyzeConfig
+
+        cfg = dataclasses.replace(
+            cfg,
+            reanalyze=ReanalyzeConfig(
+                batch_size=args.reanalyze,
+                capacity=cfg.replay.capacity // max(game.num_symmetries, 1),
             ),
         )
 
