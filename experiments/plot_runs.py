@@ -29,7 +29,7 @@ import matplotlib.pyplot as plt
 RUNS = os.path.join(os.path.dirname(__file__), "..", "docs", "runs")
 
 # categorical slots 1-4 (validated adjacent order, light mode)
-SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100"]
+SERIES = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#8f58d0"]
 SURFACE = "#fcfcfb"
 INK = "#0b0b0b"
 INK2 = "#52514e"
@@ -94,7 +94,7 @@ def train_compare():
         ("seed 1", "train_compare_cpu_s1.json"),
         ("seed 2", "train_compare_cpu_s2.json"),
     ]
-    arms = ["baseline", "gumbel", "pcr", "economy"]  # fixed color order
+    arms = ["baseline", "gumbel", "pcr", "economy", "reanalyze"]  # fixed color order
     fig, axes = plt.subplots(1, 3, figsize=(13, 3.6), sharey=True)
     fig.patch.set_facecolor(SURFACE)
     for ax, (label, fname) in zip(axes, seeds):
@@ -125,7 +125,7 @@ def train_compare():
     leg = axes[0].legend(loc="upper left", fontsize=8, frameon=False)
     for t in leg.get_texts():
         t.set_color(INK)
-    fig.suptitle("Training economy: PUCT baseline vs gumbel vs PCR vs economy "
+    fig.suptitle("Training economy: baseline vs gumbel vs PCR vs economy vs reanalyze "
                  "(connect-four, 20-iteration CPU config)", fontsize=10, color=INK)
     fig.tight_layout(rect=(0, 0, 1, 0.94))
     out = os.path.join(RUNS, "train_compare_curves.png")

@@ -93,6 +93,19 @@ def arm_config(cfg, arm):
             # the gate/rating arenas keep the baseline budget (arena
             # num_sims=25) so strength is measured identically
         )
+    if arm == "reanalyze":
+        # baseline protocol + target refresh: every iteration one extra
+        # 512-position batched re-search (= 2 of selfplay's 42 B=256
+        # move-step searches, ~+5% search compute) re-inserts stored
+        # positions with fresh policy targets from the current net
+        from alphazero_tpu.config import ReanalyzeConfig
+
+        return dataclasses.replace(
+            cfg,
+            reanalyze=ReanalyzeConfig(
+                batch_size=512, interval=1, capacity=1 << 15
+            ),
+        )
     if arm == "economy":
         # gumbel + playout-cap composed (the `economy` training preset):
         # 25% of move-steps run sequential halving at 32 sims with
