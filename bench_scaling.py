@@ -1,12 +1,16 @@
 #!/usr/bin/env python
-"""Weak-scaling benchmark: self-play actor throughput vs device count.
+"""Scaling benchmark: self-play actor throughput vs device count.
 
 BASELINE configs[4] scores 1-to-N scaling efficiency (target >= 80%); this
-harness measures it. Per-device game batch is held constant while the mesh
-grows (weak scaling — the production regime: more chips run more lockstep
-games), games sharded on the ``data`` axis (SURVEY.md §2 episode
-parallelism; the rayon pool's TPU-native replacement,
-reference: src/coach.rs:202-272).
+harness measures it. Default mode is WEAK scaling — per-device game batch
+held constant while the mesh grows (the production regime: more chips run
+more lockstep games), games sharded on the ``data`` axis (SURVEY.md §2
+episode parallelism; the rayon pool's TPU-native replacement,
+reference: src/coach.rs:202-272). ``AZ_BENCH_MODE=strong`` holds the
+GLOBAL batch fixed (``AZ_BENCH_BATCH_GLOBAL``, default 32768) while the
+mesh grows — the regime where the fused kernel's per-shard block quantum
+becomes the floor (README "Multi-chip" notes); efficiency is
+speedup(N)/N.
 
 On a real multi-chip slice run it as-is. On a single host you can
 mechanically validate the harness with virtual CPU devices:
@@ -52,12 +56,16 @@ def main():
     from alphazero_tpu.parallel import make_mesh, shard_batch
     from alphazero_tpu.selfplay import make_actor_step_fn
 
+    mode = os.environ.get("AZ_BENCH_MODE", "weak")
     per_dev = int(os.environ.get("AZ_BENCH_BATCH_PER_DEV", 8192))
+    global_b = int(os.environ.get("AZ_BENCH_BATCH_GLOBAL", 32768))
     sims = int(os.environ.get("AZ_BENCH_SIMS", 100))
     steps = int(os.environ.get("AZ_BENCH_STEPS", 10))
 
     devs = jax.devices()
     counts = [n for n in (1, 2, 4, 8, 16, 32, 64, 128) if n <= len(devs)]
+    if mode == "strong":
+        counts = [n for n in counts if global_b % n == 0]
 
     game = ConnectFour()
     net = make_uniform_model(game)
@@ -68,7 +76,7 @@ def main():
     results = []
     for n in counts:
         mesh = make_mesh(devices=devs[:n], axis_names=("data",))
-        batch = per_dev * n
+        batch = global_b if mode == "strong" else per_dev * n
         # mesh threaded through: the fused Pallas engine (the TPU path
         # for this exact config) is a single-device program and needs its
         # shard_map wrapper to ride a sharded jit
@@ -105,11 +113,14 @@ def main():
 
     base = results[0][1]
     n_max, eps_max = results[-1]
+    # weak: ideal eps grows with N at fixed per-device batch.
+    # strong: ideal eps ALSO grows with N (fixed global batch finishes
+    # N x faster) — same ratio either way.
     eff = eps_max / (base * n_max) if base > 0 else 0.0
     print(
         json.dumps(
             {
-                "metric": "selfplay_weak_scaling_efficiency",
+                "metric": f"selfplay_{mode}_scaling_efficiency",
                 "value": round(eff, 3),
                 "unit": f"1_to_{n_max}_devices",
                 "backend": jax.default_backend(),
