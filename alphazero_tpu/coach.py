@@ -111,11 +111,14 @@ class Coach:
             pos_init_fn = lambda: position_init(game, rz_cfg.capacity)
         train_fn = make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
         # arena evaluation is noise-free greedy play: strip root Dirichlet
-        # (with it, the search would demand an rng the arena never supplies)
+        # (with it, the search would demand an rng the arena never
+        # supplies) and forced playouts (a training-target device — it
+        # deliberately distorts visit counts the arena would play from)
         arena_cfg = dataclasses.replace(
             cfg.mcts,
             num_sims=cfg.arena.num_sims or cfg.mcts.num_sims,
             dirichlet_alpha=None,
+            forced_playouts=None,
         )
 
         self.positions = None

@@ -52,6 +52,21 @@ class MCTSConfig:
     #                              top-2 PUCT actions within a round).
     #                              num_sims must be divisible by K.
 
+    forced_playouts: Optional[float] = None  # opt-in KataGo forced
+    #                              playouts + policy target pruning (Wu
+    #                              2020 §3.2; no reference analogue): at
+    #                              the ROOT, any child with
+    #                              n < sqrt(k·P·Σn) is forced to be
+    #                              searched (k = this value; KataGo used
+    #                              2), guaranteeing noise-boosted moves a
+    #                              minimum of exploration; the stored
+    #                              policy target then PRUNES the forced
+    #                              visits back out (tree.pruned_root_counts)
+    #                              so the targets aren't polluted by the
+    #                              forcing. Pair with dirichlet_alpha.
+    #                              Runs on the XLA engine (selfplay
+    #                              routes there automatically).
+
     transposition: bool = False  # opt-in transposition-DAG dedup (the
     #                              reference's `seen` table, node.rs:135 /
     #                              272-326): node-level shared statistics,

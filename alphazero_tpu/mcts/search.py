@@ -74,6 +74,55 @@ def dense_puct_scores(stats: jax.Array, cpuct: float) -> jax.Array:
     return jnp.where(p <= INVALID_P * 0.5, jnp.float32(-1e30), q + u)
 
 
+def _forced_root_mask(stats: jax.Array, k: float) -> jax.Array:
+    """KataGo forced playouts (Wu 2020 §3.2): root children with
+    n < sqrt(k * P * sum_n) must be searched. f32[B, A] 0/1 mask over the
+    ROOT's actions (lane 0). P is the (noised) root prior, so
+    Dirichlet-boosted moves are guaranteed a minimum of exploration."""
+    n = stats[:, PLANE_N, :, 0]
+    p = stats[:, PLANE_P, :, 0]
+    p = jnp.where(p <= INVALID_P * 0.5, 0.0, p)
+    n_total = jnp.sum(n, axis=-1, keepdims=True)
+    n_forced = jnp.sqrt(k * p * n_total)
+    return ((n < n_forced) & (p > 0)).astype(jnp.float32)
+
+
+def pruned_root_counts(tree, k: float, cpuct: float) -> jax.Array:
+    """Policy-target pruning (Wu 2020 §3.2's counterpart to the forcing):
+    f32[B, A] root visit counts with the forced exploration subtracted
+    back out, for use as the TRAINING TARGET (the play distribution keeps
+    the raw counts).
+
+    Per non-most-visited child: subtract up to n_forced playouts, but
+    never below the count at which the child's PUCT would exceed the
+    most-visited child's final PUCT (such visits were earned, not
+    forced), and zero out any non-best child left with <= 1 playout."""
+    stats = tree.stats
+    n = stats[:, PLANE_N, :, 0]
+    w = stats[:, PLANE_W, :, 0]
+    p = stats[:, PLANE_P, :, 0]
+    p = jnp.where(p <= INVALID_P * 0.5, 0.0, p)
+    q = w / jnp.maximum(n, 1.0)
+    n_total = jnp.sum(n, axis=-1, keepdims=True)
+    sqrt_total = jnp.sqrt(n_total + PUCT_EPS)
+    puct = jnp.where(p > 0, q + cpuct * p * sqrt_total / (1.0 + n), -jnp.inf)
+
+    best = jnp.argmax(n, axis=-1)
+    is_best = jax.nn.one_hot(best, n.shape[-1], dtype=bool)
+    puct_best = jnp.sum(jnp.where(is_best, puct, 0.0), axis=-1, keepdims=True)
+
+    n_forced = jnp.sqrt(k * p * n_total)
+    # count floor where PUCT(c) == PUCT(best):  q + cpuct·p·sqrt/(1+n) = b
+    gap = puct_best - q
+    n_keep = jnp.where(
+        gap > 0, cpuct * p * sqrt_total / jnp.maximum(gap, 1e-9) - 1.0, n
+    )
+    n_keep = jnp.clip(n_keep, 0.0, n)
+    pruned = n - jnp.minimum(n_forced, n - n_keep)
+    pruned = jnp.where(pruned <= 1.0, 0.0, pruned)
+    return jnp.where(is_best, n, jnp.maximum(pruned, 0.0))
+
+
 def make_engine_parts(game, apply_fn: ApplyFn, cfg: MCTSConfig, _ablate: str = ""):
     """The XLA engine's machinery, exposed for engines that share its tree
     mechanics but score differently (mcts/gumbel.py): returns a dict with
@@ -387,6 +436,24 @@ def make_search_fn(
     C = cfg.nodes
     parts = make_engine_parts(game, apply_fn, cfg, _ablate)
     _simulate = parts["simulate"]
+
+    forced_k = getattr(cfg, "forced_playouts", None)
+    if forced_k is not None:
+        best_planes = parts["best_planes"]
+        _select_parts = parts["select"]
+        expand_backup = parts["expand_backup"]
+        lane0 = (jnp.arange(C) == 0).astype(jnp.float32)  # root is lane 0
+
+        def _simulate(params, tree):
+            # forced children outrank every real PUCT score at the root;
+            # ties among forced resolve by their underlying PUCT
+            score = dense_puct_scores(tree.stats, cfg.cpuct)
+            bonus = _forced_root_mask(tree.stats, float(forced_k))
+            score = score + 1e9 * bonus[:, :, None] * lane0
+            best_a_f, best_code = best_planes(tree, score)
+            sel = _select_parts(tree, best_a_f, best_code)
+            tree, _ = expand_backup(params, tree, sel)
+            return tree
 
     def search(
         params,

@@ -119,6 +119,18 @@ def make_selfplay_fn(
     """
     reuse = getattr(mcts_cfg, "tree_reuse", False)
     gumbel = getattr(mcts_cfg, "gumbel", False)
+    forced = getattr(mcts_cfg, "forced_playouts", None)
+    if forced is not None and (
+        gumbel
+        or reuse
+        or getattr(mcts_cfg, "transposition", False)
+        or getattr(sp_cfg, "full_search_prob", None) is not None
+    ):
+        raise ValueError(
+            "forced_playouts is a root-PUCT training-target device — "
+            "mutually exclusive with gumbel/tree_reuse/transposition/"
+            "playout-cap randomization"
+        )
 
     # playout cap randomization (KataGo, Wu 2020 §3.1): per move-step a
     # shared coin picks the FULL budget (policy target recorded) or the
@@ -164,6 +176,18 @@ def make_selfplay_fn(
             if cheap_cfg is not None
             else None
         )
+    elif forced is not None:
+        # forced playouts need the root's final tree (prior + Q planes)
+        # for the pruned policy target, so the move runs the XLA engine
+        # (the override is a one-plane root bonus in its fused score pass)
+        if getattr(mcts_cfg, "parallel_sims", 1) > 1:
+            raise ValueError(
+                "forced_playouts runs on the XLA engine — set "
+                "parallel_sims=1"
+            )
+        from alphazero_tpu.mcts.search import pruned_root_counts
+
+        fsearch = make_search_fn(game, apply_fn, mcts_cfg)
     elif reuse:
         # tree persistence across moves forces the XLA engine (the Pallas
         # kernels' VMEM trees live exactly one search) — see mcts/reuse.py
@@ -230,9 +254,16 @@ def make_selfplay_fn(
                         full, _g_full, _g_cheap, (params, state, k_noise)
                     )
             else:
+                pruned = None
                 if reuse:
                     tree = search.from_tree(params, tree, state, k_noise, reused)
                     counts = tree.root_counts()
+                elif forced is not None:
+                    ftree = fsearch(params, state, k_noise)
+                    counts = ftree.root_counts()
+                    pruned = pruned_root_counts(
+                        ftree, float(forced), float(mcts_cfg.cpuct)
+                    )
                 elif full is not None:
                     counts = jax.lax.cond(
                         full,
@@ -251,6 +282,11 @@ def make_selfplay_fn(
                     # cheap-search moves advance the game but emit a
                     # VALUE-ONLY training sample (zero pi target)
                     pi = jnp.where(full, pi, jnp.zeros_like(pi))
+                if pruned is not None:
+                    # play from the raw counts (the forcing IS the
+                    # exploration), train on the pruned ones (Wu 2020
+                    # §3.2: forced visits subtracted back out)
+                    pi = action_probs(pruned, temp, k_tie)
             feats = feat_v(state)
             root_state = state  # pre-step: the position the sample is from
             nxt = step_v(state, action)

@@ -93,6 +93,21 @@ def arm_config(cfg, arm):
             # the gate/rating arenas keep the baseline budget (arena
             # num_sims=25) so strength is measured identically
         )
+    if arm == "noise":
+        # baseline + root Dirichlet exploration noise — the control for
+        # the forced arm (forced playouts exist to counteract noise
+        # pollution, Wu 2020 §3.2)
+        return dataclasses.replace(
+            cfg, mcts=dataclasses.replace(cfg.mcts, dirichlet_alpha=1.0)
+        )
+    if arm == "forced":
+        # noise + KataGo forced playouts (k=2) with policy-target pruning
+        return dataclasses.replace(
+            cfg,
+            mcts=dataclasses.replace(
+                cfg.mcts, dirichlet_alpha=1.0, forced_playouts=2.0
+            ),
+        )
     if arm == "reanalyze":
         # baseline protocol + target refresh: every iteration one extra
         # 512-position batched re-search (= 2 of selfplay's 42 B=256
