@@ -283,6 +283,9 @@ class Coach:
         # fixed pure-MCTS anchor, pinned at Elo 0 by fit_elo)
         self.pool = []           # [(model_id, variables)]
         self.pool_matches = []   # [{a, b, wins_a, wins_b, draws}]
+        self._pool_ckpt = bool(
+            cfg.arena.pool_in_checkpoint and cfg.arena.anchor_interval
+        )
         self.anchored_ratings = {}
         self.metrics = MetricsLogger(cfg.checkpoint_dir)
         self.timer = PhaseTimer()
@@ -330,7 +333,37 @@ class Coach:
         if self.positions is not None:
             # the reanalyze position ring resumes exactly with the run
             payload["positions"] = self.positions._asdict()
+        if self._pool_ckpt:
+            payload["pool"] = self._pool_payload()
         return payload
+
+    def _pool_payload(self):
+        """Anchored-pool snapshots as a FIXED-SHAPE stacked pytree
+        (zero-padded to pool_size, ids -1 where empty) so it can serve as
+        the Orbax template whatever the live pool length is."""
+        import numpy as np
+
+        P = max(self.cfg.arena.pool_size, 1)
+        zeros = jax.tree_util.tree_map(
+            lambda l: np.zeros(l.shape, l.dtype), variables_of(self.incumbent)
+        )
+        ids = np.full((P,), -1, np.int32)
+        snaps = []
+        for i, (gen_id, snap) in enumerate(self.pool[:P]):
+            ids[i] = gen_id
+            snaps.append(snap)
+        snaps += [zeros] * (P - len(snaps))
+        stacked = jax.tree_util.tree_map(
+            lambda *ls: np.stack([np.asarray(l) for l in ls]), *snaps
+        )
+        out = {"ids": ids, "vars": stacked}
+        if self.mesh is not None:
+            from alphazero_tpu.parallel import replicate_host_value
+
+            out = jax.tree_util.tree_map(
+                lambda l: replicate_host_value(l, self.mesh), out
+            )
+        return out
 
     def _maybe_resume(self) -> None:
         step = latest_step(self.cfg.checkpoint_dir)
@@ -342,19 +375,23 @@ class Coach:
                 self.cfg.checkpoint_dir, step, template
             )
         except Exception:
-            if "positions" not in template:
+            # checkpoint may predate an optional subtree (the reanalyze
+            # position ring / the anchored-pool snapshots): restore
+            # everything else and start those empty
+            optional = [k for k in ("positions", "pool") if k in template]
+            if not optional:
                 raise
-            # checkpoint predates reanalyze (no position ring saved):
-            # restore everything else and start the ring empty
-            template.pop("positions")
+            for k in optional:
+                template.pop(k)
             payload, sidecar = restore_checkpoint(
                 self.cfg.checkpoint_dir, step, template
             )
             import logging
 
             logging.getLogger(__name__).warning(
-                "checkpoint has no reanalyze position store — resuming "
-                "with an empty ring (it repopulates from self-play)"
+                "checkpoint lacks optional subtree(s) %s — resuming with "
+                "them empty (they repopulate as the run proceeds)",
+                optional,
             )
         self.incumbent = TrainState(**payload["incumbent"])
         from alphazero_tpu.replay import ReplayState
@@ -364,6 +401,23 @@ class Coach:
             from alphazero_tpu.reanalyze import PositionStore
 
             self.positions = PositionStore(**payload["positions"])
+        if "pool" in payload:
+            import numpy as np
+
+            from alphazero_tpu.parallel.distributed import host_copy
+
+            pool_h = host_copy(payload["pool"])
+            for i, gen_id in enumerate(np.asarray(pool_h["ids"])):
+                if gen_id >= 0:
+                    self.pool.append(
+                        (
+                            int(gen_id),
+                            jax.tree_util.tree_map(
+                                lambda l: np.asarray(l[i]), pool_h["vars"]
+                            ),
+                        )
+                    )
+            self.pool.sort(key=lambda t: t[0])
         self.rng = jax.random.wrap_key_data(payload["rng"])
         if sidecar:
             self.iteration = sidecar.get("iteration", step)

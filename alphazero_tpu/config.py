@@ -201,6 +201,16 @@ class ArenaConfig:
     #                              anchored rating matches (evicted to
     #                              keep generations roughly evenly spaced,
     #                              newest always kept)
+    pool_in_checkpoint: bool = False  # persist the pool's parameter
+    #                              snapshots inside the whole-state
+    #                              checkpoint (zero-padded to pool_size).
+    #                              Default off: the match graph always
+    #                              persists (sidecar) and dominates the
+    #                              anchored fit, but a freshly resumed run
+    #                              rates against a thinner pool until it
+    #                              repopulates; turning this on closes
+    #                              that window at the cost of pool_size
+    #                              extra parameter copies per checkpoint.
 
 
 @dataclasses.dataclass(frozen=True)

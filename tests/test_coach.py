@@ -297,6 +297,58 @@ def test_anchored_rating_pass(tmp_path):
     assert len(resumed.pool) == 1
 
 
+def test_pool_in_checkpoint(tmp_path):
+    """arena.pool_in_checkpoint persists the anchored-pool snapshots:
+    a resumed coach rates against the FULL pool immediately (no
+    thin-pool window), and checkpoints written without the option
+    restore into a pool-persisting coach via the optional-subtree
+    fallback."""
+    import dataclasses
+
+    game = ConnectFour()
+    base = dataclasses.replace(
+        tiny_cfg(tmp_path, seed=21),
+        arena=ArenaConfig(
+            num_games=8, update_threshold=None, num_sims=4,
+            anchor_interval=1, pool_size=2, pool_in_checkpoint=True,
+        ),
+    )
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), base)
+    coach.learn(3)
+    assert len(coach.pool) == 2
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), base)
+    assert [g for g, _ in resumed.pool] == [g for g, _ in coach.pool]
+    for (_, a), (_, b) in zip(coach.pool, resumed.pool):
+        for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    rec = resumed.run_iteration()
+    # full pool immediately: pool matches for BOTH restored snapshots
+    pool_ms = [m for m in resumed.pool_matches if m["b"] != "anchor"]
+    assert len(pool_ms) >= len(coach.pool_matches) - 3 + 2
+    assert "anchored_elo" in rec
+
+    # backward compat: a no-pool checkpoint restores with the pool empty
+    import shutil
+
+    legacy_dir = tmp_path / "legacy"
+    cfg_off = dataclasses.replace(
+        base,
+        checkpoint_dir=str(legacy_dir),
+        arena=dataclasses.replace(base.arena, pool_in_checkpoint=False),
+    )
+    c2 = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg_off)
+    c2.learn(1)
+    cfg_on = dataclasses.replace(
+        base, checkpoint_dir=str(legacy_dir),
+        arena=dataclasses.replace(base.arena, pool_in_checkpoint=True),
+    )
+    c3 = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg_on)
+    assert c3.iteration == c2.iteration
+    assert c3.pool == []
+    assert int(c3.replay.size) == int(c2.replay.size)
+
+
 def test_checkpoint_retention(tmp_path):
     """keep_checkpoints prunes all but the newest k checkpoints (sidecars
     too) and resume from the survivors is exact."""

@@ -310,3 +310,42 @@ def test_host_copy_returns_numpy_for_sharded_trees():
         assert isinstance(leaf, np.ndarray) and not isinstance(leaf, jax.Array)
     np.testing.assert_array_equal(out["sharded"], np.arange(16.0).reshape(16, 1))
     np.testing.assert_array_equal(out["replicated"], np.ones((3,)))
+
+
+def test_mesh_pool_in_checkpoint(tmp_path):
+    """Anchored-pool snapshots persist and restore under a mesh
+    (per-leaf replicate_host_value on save, host_copy on restore)."""
+    import dataclasses
+
+    from alphazero_tpu.coach import Coach
+    from alphazero_tpu.config import ArenaConfig, AZConfig, TrainConfig
+    from alphazero_tpu.models import MLPNet
+
+    cfg = AZConfig(
+        mcts=MCTSConfig(num_sims=6, max_depth=16),
+        selfplay=SelfPlayConfig(batch_size=16, temp_threshold=4),
+        replay=ReplayConfig(capacity=2048),
+        train=TrainConfig(batch_size=32, steps_per_iteration=2),
+        arena=ArenaConfig(
+            num_games=8, update_threshold=None, num_sims=4,
+            anchor_interval=1, pool_size=2, pool_in_checkpoint=True,
+        ),
+        seed=13,
+        checkpoint_dir=str(tmp_path),
+    )
+    mesh = make_mesh()
+    coach = Coach(G, MLPNet(num_actions=G.num_actions, hidden=(32,)), cfg, mesh=mesh)
+    coach.learn(3)
+    assert len(coach.pool) == 2
+
+    resumed = Coach(
+        G, MLPNet(num_actions=G.num_actions, hidden=(32,)), cfg, mesh=mesh
+    )
+    assert [g for g, _ in resumed.pool] == [g for g, _ in coach.pool]
+    for (_, a), (_, b) in zip(coach.pool, resumed.pool):
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        ):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    rec = resumed.run_iteration()
+    assert "anchored_elo" in rec
