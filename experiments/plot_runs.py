@@ -1,13 +1,16 @@
 #!/usr/bin/env python
 """Render the training-run artifacts in docs/runs/ as PNG figures.
 
-Two figures:
+Three figures:
   docs/runs/flagship_elo_curves.png   — anchored-Elo curves of the four
       flagship training runs (one small-multiple panel per game; single
       series per panel, so the panel title carries identity).
-  docs/runs/train_compare_curves.png  — the four-arm training-economy
+  docs/runs/train_compare_curves.png  — the training-economy protocol
       comparison (experiments/train_compare.py) across three seeds, one
       panel per seed, fixed arm->color order with direct end labels.
+  docs/runs/train_compare_summary.png — every measured arm's mean
+      peak/final anchored Elo with its min-max seed range (the honest
+      variance summary).
 
 Anchored Elo is the Bradley-Terry fit against the pure-MCTS anchor
 pinned at 0 (utils/elo.py::fit_elo) — the honest strength signal, not
@@ -133,6 +136,55 @@ def train_compare():
     print("wrote", out)
 
 
+def arm_summary():
+    """All measured arms in one honest panel: per-arm mean peak and mean
+    final anchored Elo as dots, with the min-max seed range as a line —
+    the range IS the message (seed variance dominates at this config)."""
+    agg = json.load(
+        open(os.path.join(RUNS, "train_compare_cpu_seeds.json"))
+    )["arms"]
+    arms = sorted(agg, key=lambda a: -agg[a]["mean_peak"])
+    fig, axes = plt.subplots(1, 2, figsize=(9.6, 3.4), sharey=True)
+    fig.patch.set_facecolor(SURFACE)
+    for ax, key, title in zip(
+        axes,
+        ("peak", "final"),
+        ("peak anchored Elo", "final anchored Elo"),
+    ):
+        style_axes(ax)
+        ax.grid(True, axis="x", color=GRID, linewidth=0.8)
+        ax.grid(False, axis="y")
+        for y, arm in enumerate(arms):
+            seeds = agg[arm][f"{key}_per_seed"]
+            mean = agg[arm][f"mean_{key}"]
+            ax.plot(
+                [min(seeds), max(seeds)], [y, y],
+                color=GRID, linewidth=3, solid_capstyle="round", zorder=1,
+            )
+            ax.scatter(seeds, [y] * len(seeds), s=14, color=INK2, zorder=2)
+            ax.scatter([mean], [y], s=60, color=SERIES[0], zorder=3)
+            ax.annotate(
+                f"{mean:.0f}", (mean, y), textcoords="offset points",
+                xytext=(0, 7), ha="center", fontsize=8, color=INK,
+            )
+        ax.set_yticks(range(len(arms)))
+        ax.set_yticklabels(arms, fontsize=9, color=INK)
+        ax.set_title(title, fontsize=10, color=INK)
+    # invert ONCE (sharey: a second invert would toggle it back)
+    axes[0].invert_yaxis()
+    fig.suptitle(
+        "Training-economy arms over three seeds — mean (blue), seeds "
+        "(dots), seed range (bar).\nThe ranges overlap: no arm separates "
+        "from baseline with confidence at n=3.",
+        fontsize=9.5, color=INK,
+    )
+    fig.tight_layout(rect=(0, 0, 1, 0.86))
+    out = os.path.join(RUNS, "train_compare_summary.png")
+    fig.savefig(out, dpi=160, facecolor=SURFACE)
+    print("wrote", out)
+
+
 if __name__ == "__main__":
     flagship()
     train_compare()
+    arm_summary()
