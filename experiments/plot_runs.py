@@ -96,9 +96,11 @@ def train_compare():
         ("seed 0", "train_compare_cpu.json"),
         ("seed 1", "train_compare_cpu_s1.json"),
         ("seed 2", "train_compare_cpu_s2.json"),
+        ("seed 3", "train_compare_cpu_s3.json"),
+        ("seed 4", "train_compare_cpu_s4.json"),
     ]
     arms = ["baseline", "gumbel", "pcr", "economy", "reanalyze"]  # fixed color order
-    fig, axes = plt.subplots(1, 3, figsize=(13, 3.6), sharey=True)
+    fig, axes = plt.subplots(1, 5, figsize=(19, 3.6), sharey=True)
     fig.patch.set_facecolor(SURFACE)
     for ax, (label, fname) in zip(axes, seeds):
         d = json.load(open(os.path.join(RUNS, fname)))
@@ -129,7 +131,7 @@ def train_compare():
     for t in leg.get_texts():
         t.set_color(INK)
     fig.suptitle("Training economy: baseline vs gumbel vs PCR vs economy vs reanalyze "
-                 "(connect-four, 20-iteration CPU config)", fontsize=10, color=INK)
+                 "(connect-four, 20-iteration CPU config, five seeds)", fontsize=10, color=INK)
     fig.tight_layout(rect=(0, 0, 1, 0.94))
     out = os.path.join(RUNS, "train_compare_curves.png")
     fig.savefig(out, dpi=160, facecolor=SURFACE)
@@ -173,9 +175,9 @@ def arm_summary():
     # invert ONCE (sharey: a second invert would toggle it back)
     axes[0].invert_yaxis()
     fig.suptitle(
-        "Training-economy arms over three seeds — mean (blue), seeds "
+        "Training-economy arms over five seeds — mean (blue), seeds "
         "(dots), seed range (bar).\nThe ranges overlap: no arm separates "
-        "from baseline with confidence at n=3.",
+        "from baseline with confidence at this config's seed variance.",
         fontsize=9.5, color=INK,
     )
     fig.tight_layout(rect=(0, 0, 1, 0.86))
