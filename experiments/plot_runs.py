@@ -131,7 +131,7 @@ def train_compare():
     for t in leg.get_texts():
         t.set_color(INK)
     fig.suptitle("Training economy: baseline vs gumbel vs PCR vs economy vs reanalyze "
-                 "(connect-four, 20-iteration CPU config, five seeds)", fontsize=10, color=INK)
+                 "(connect-four, 20-iteration CPU config; first 5 of 8 seeds — the summary figure aggregates all 8)", fontsize=10, color=INK)
     fig.tight_layout(rect=(0, 0, 1, 0.94))
     out = os.path.join(RUNS, "train_compare_curves.png")
     fig.savefig(out, dpi=160, facecolor=SURFACE)
@@ -175,9 +175,10 @@ def arm_summary():
     # invert ONCE (sharey: a second invert would toggle it back)
     axes[0].invert_yaxis()
     fig.suptitle(
-        "Training-economy arms over five seeds — mean (blue), seeds "
-        "(dots), seed range (bar).\nThe ranges overlap: no arm separates "
-        "from baseline with confidence at this config's seed variance.",
+        "Training-economy arms over eight seeds — mean (blue), seeds "
+        "(dots), seed range (bar).\nSeed-PAIRED differences vs baseline: "
+        "gumbel +174 peak (t=2.7) / +179 final (t=2.1); others "
+        "directionally positive but within noise.",
         fontsize=9.5, color=INK,
     )
     fig.tight_layout(rect=(0, 0, 1, 0.86))
