@@ -121,6 +121,21 @@ def arm_config(cfg, arm):
                 batch_size=512, interval=1, capacity=1 << 15
             ),
         )
+    if arm == "gumbel_rz":
+        # the two paired-analysis winners composed: gumbel search
+        # (improved-policy targets) + reanalyze target refresh (the
+        # refreshed targets are gumbel's pi' as well)
+        from alphazero_tpu.config import ReanalyzeConfig
+
+        return dataclasses.replace(
+            cfg,
+            mcts=dataclasses.replace(
+                cfg.mcts, gumbel=True, num_sims=16, dirichlet_alpha=None
+            ),
+            reanalyze=ReanalyzeConfig(
+                batch_size=512, interval=1, capacity=1 << 15
+            ),
+        )
     if arm == "economy":
         # gumbel + playout-cap composed (the `economy` training preset):
         # 25% of move-steps run sequential halving at 32 sims with
