@@ -122,13 +122,13 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
         )
     elif args.preset == "economy":
-        # the training-economy composition (docs/ROUND3.md): the flagship
-        # resnet driven by the Gumbel engine at a small budget (policy
-        # improvement guaranteed; +95/+38 Elo vs PUCT at 4/8 sims
-        # measured, bench_gumbel.py) plus KataGo-style playout-cap
-        # randomization (3/4 of moves search at 1/4 budget and emit
-        # value-only samples) — ~2.4x cheaper search per generated game
-        # than the full preset at comparable target quality
+        # the measured training-economy recipe (docs/ROUND3.md): the
+        # flagship resnet driven by the Gumbel engine at a small budget.
+        # Plain gumbel is the 8-seed paired-analysis winner (+174 peak /
+        # +179 final anchored Elo vs the PUCT baseline, t=2.7/2.1, at
+        # equal wall-clock); the earlier gumbel+PCR composition was
+        # re-measured at n=8 and dropped (PCR adds nothing on top —
+        # paired t=0.3; train_compare_cpu_seeds.json)
         model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
         cfg = AZConfig(
             mcts=MCTSConfig(
@@ -137,8 +137,6 @@ def main():
             selfplay=SelfPlayConfig(
                 batch_size=4096,
                 temp_threshold=15,
-                full_search_prob=0.25,
-                cheap_sims=8,
             ),
             replay=ReplayConfig(capacity=1 << 20),
             train=TrainConfig(batch_size=1024, steps_per_iteration=512),
