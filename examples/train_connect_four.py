@@ -149,6 +149,13 @@ def main():
             num_iterations=50,
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
+            # economy extends to the run harness: the replay-bearing
+            # whole-state checkpoint (~hundreds of MB at 1<<20 capacity)
+            # costs ~30 s of a ~5 s iteration if saved every time —
+            # amortize it (resume granularity stays 5 iterations; the
+            # final state is always saved)
+            checkpoint_interval=5,
+            keep_checkpoints=4,
         )
     else:
         # BASELINE config 3: conv resnet, batched self-play 4096 games
