@@ -72,16 +72,31 @@ def flagship():
         ("Hex 7x7 · MLP · 20 iters (CPU mesh)",
          "hex_mlp_20iter_cpu.jsonl"),
     ]
+    # overlays: extra curves drawn into a named panel (panel index -> list
+    # of (label, artifact)). The economy preset rides the connect-four
+    # panel: same game/net, gumbel-32 search at ~half the wall-clock.
+    overlays = {
+        0: [("economy · gumbel-32 (50 iters, 0.52x wall)",
+             "resnet_economy_preset_50iter_gumbel32_tpu_v5e.jsonl")],
+    }
     fig, axes = plt.subplots(1, 4, figsize=(14, 3.2), sharey=False)
     fig.patch.set_facecolor(SURFACE)
-    for ax, (title, fname) in zip(axes, panels):
+    for i, (ax, (title, fname)) in enumerate(zip(axes, panels)):
         xs, ys = load_curve(fname)
         style_axes(ax)
         marker = "o" if len(xs) <= 6 else None
-        ax.plot(xs, ys, color=SERIES[0], linewidth=2, marker=marker, markersize=4)
+        base_label = "full · PUCT-100" if i in overlays else None
+        ax.plot(xs, ys, color=SERIES[0], linewidth=2, marker=marker,
+                markersize=4, label=base_label)
         ax.scatter(xs[-1:], ys[-1:], s=18, color=SERIES[0], zorder=3)
         ax.annotate(f"{ys[-1]:.0f}", (xs[-1], ys[-1]), textcoords="offset points",
                     xytext=(2, 6), fontsize=9, color=INK)
+        for j, (label, oname) in enumerate(overlays.get(i, [])):
+            oxs, oys = load_curve(oname)
+            ax.plot(oxs, oys, color=SERIES[j + 1], linewidth=2, label=label)
+            ax.scatter(oxs[-1:], oys[-1:], s=18, color=SERIES[j + 1], zorder=3)
+        if i in overlays:
+            ax.legend(fontsize=7.5, frameon=False, labelcolor=INK2)
         ax.set_title(title, fontsize=9.5, color=INK)
         ax.set_xlabel("iteration", fontsize=9, color=INK2)
     axes[0].set_ylabel("anchored Elo (pure MCTS = 0)", fontsize=9, color=INK2)
