@@ -227,6 +227,68 @@ def test_hybrid_othello_mlp_cutoff_matches_xla_engine():
 
 
 # ---------------------------------------------------------------------------
+# Hex on the hybrid engine (connection goal: the flood-fill terminal runs
+# in the XLA stage; the kernel-side step is the parity-lane remap —
+# games/hex.py HexFlatOps)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("moves", [0, 9, 30])
+def test_hybrid_hex_uniform_matches_xla_engine(moves):
+    from alphazero_tpu.games import Hex
+
+    game = Hex()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=16, max_depth=49)
+    search = make_search_fn(game, net.apply_fn, cfg)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=4)
+    assert hybrid is not None
+    state = _random_oth_positions(game, 4, moves, seed=moves)
+    np.testing.assert_array_equal(
+        np.array(search({}, state).root_counts()),
+        np.array(hybrid({}, state)),
+    )
+
+
+def test_hybrid_hex_mlp_matches_xla_engine():
+    from alphazero_tpu.games import Hex
+
+    game = Hex()
+    model = MLPNet(num_actions=game.num_actions, hidden=(16,))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(5), game.feature_shape)
+    cfg = MCTSConfig(num_sims=12, max_depth=49)
+    search = make_search_fn(game, apply_fn, cfg)
+    hybrid = make_hybrid_root_fn(game, apply_fn, cfg, block_size=4)
+    assert hybrid is not None
+    state = _random_oth_positions(game, 4, 12, seed=11)
+    np.testing.assert_array_equal(
+        np.array(search(params, state).root_counts()),
+        np.array(hybrid(params, state)),
+    )
+
+
+def test_hybrid_hex_gumbel_unaffected():
+    """The gumbel engine ignores flat_ops; adding HexFlatOps must not
+    break its Hex path (rng-stream compatibility invariant)."""
+    from alphazero_tpu.games import Hex
+    from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
+
+    game = Hex()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(
+        num_sims=8, max_depth=16, gumbel=True, dirichlet_alpha=None
+    )
+    gsearch = make_gumbel_search_fn(game, net.apply_fn, cfg)
+    state = _random_oth_positions(game, 2, 4, seed=2)
+    res = gsearch({}, state, jax.random.key(0), cfg.num_sims)
+    assert np.array(res.action).shape == (2,)
+    np.testing.assert_allclose(
+        np.array(res.improved_pi).sum(axis=1), 1.0, rtol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
 # K-leaf-parallel rounds (parallel_sims > 1)
 # ---------------------------------------------------------------------------
 
