@@ -132,13 +132,22 @@ def make_selfplay_fn(
             "playout-cap randomization"
         )
 
-    # playout cap randomization (KataGo, Wu 2020 §3.1): per move-step a
-    # shared coin picks the FULL budget (policy target recorded) or the
-    # cheap budget (value-only sample: pi target = zeros, see train.py).
-    # The coin is per-step rather than per-game so each step stays ONE
-    # compiled search program (lax.cond) instead of running both budgets;
-    # marginally every position still gets full_search_prob odds of a
-    # policy target.
+    # playout cap randomization (KataGo, Wu 2020 §3.1): per GAME per
+    # move-step, the full budget (policy target recorded) or the cheap
+    # budget (value-only sample: pi target = zeros, see train.py).
+    # KataGo's lever is per-position; a data-dependent per-game coin
+    # would force running both compiled searches on the whole batch
+    # (2.5-3x the compute PCR exists to save), so the per-position
+    # semantics are realized as a STRATIFIED split instead: each step a
+    # fresh random permutation assigns exactly round(p*B) games to the
+    # full budget and the rest to the cheap one — two fixed-shape
+    # sub-batch searches, total compute exactly p*full + (1-p)*cheap,
+    # and every (game, step) position has p odds of a policy target
+    # with the full/cheap pattern varying independently across games.
+    # (Round 3 measured the earlier batch-shared per-step coin as a
+    # null result; VERDICT r3 flagged the shared coin's correlated
+    # target sparsity as a possible artifact — this is the re-test
+    # implementation.)
     pcr = getattr(sp_cfg, "full_search_prob", None)
     cheap_cfg = None
     if pcr is not None:
@@ -158,6 +167,17 @@ def make_selfplay_fn(
             # KataGo disables root exploration noise on cheap searches
             dirichlet_alpha=None,
         )
+        # exact stratified count (p = 0.0 / 1.0 degenerate to one search)
+        n_full = int(round(pcr * sp_cfg.batch_size))
+        n_full = max(0, min(sp_cfg.batch_size, n_full))
+        if mesh is not None and 0 < n_full < sp_cfg.batch_size:
+            shards = int(mesh.shape.get("data", 1))
+            if n_full % shards or (sp_cfg.batch_size - n_full) % shards:
+                raise ValueError(
+                    "full_search_prob sub-batches must divide the mesh "
+                    f"data axis: round(p*B)={n_full} of B="
+                    f"{sp_cfg.batch_size} over {shards} shards"
+                )
     if gumbel:
         # Gumbel sequential-halving mode (mcts/gumbel.py): the played move
         # is the halving winner (exploration = the per-move Gumbel sample,
@@ -230,29 +250,58 @@ def make_selfplay_fn(
                 state, done, outcome, moves, rng = carry
             if pcr is not None:
                 rng, k_noise, k_tie, k_act, k_coin = jax.random.split(rng, 5)
-                full = jax.random.bernoulli(k_coin, pcr)
+                if n_full <= 0:
+                    full = jnp.zeros((B,), bool)
+                elif n_full >= B:
+                    full = jnp.ones((B,), bool)
+                else:
+                    # per-game stratified assignment: exactly n_full games
+                    # run the full budget this step (see PCR note above)
+                    perm = jax.random.permutation(k_coin, B)
+                    inv = jnp.argsort(perm)
+                    full = inv < n_full
             else:
                 # 4-way split kept verbatim so PCR-off trajectories stay
                 # bit-identical to earlier releases under the same seed
                 rng, k_noise, k_tie, k_act = jax.random.split(rng, 4)
                 full = None
 
+            def split_search(run_full, run_cheap):
+                """Run the full-budget search on the n_full-game sub-batch
+                and the cheap one on the rest, scatter outputs back to
+                game order. ``run_*(sub_state, key) -> pytree`` with
+                leading axis = sub-batch."""
+                kf, kc = jax.random.split(k_noise)
+                if n_full >= B:
+                    return run_full(state, kf)
+                if n_full <= 0:
+                    return run_cheap(state, kc)
+                state_p = jax.tree_util.tree_map(lambda x: x[perm], state)
+                sub_f = jax.tree_util.tree_map(lambda x: x[:n_full], state_p)
+                sub_c = jax.tree_util.tree_map(lambda x: x[n_full:], state_p)
+                out_f = run_full(sub_f, kf)
+                out_c = run_cheap(sub_c, kc)
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0)[inv],
+                    out_f,
+                    out_c,
+                )
+
             if gumbel:
                 if full is None:
                     res = gsearch(params, state, k_noise)
                     action, pi = res.action, res.improved_pi
                 else:
-                    def _g_full(op):
-                        r = gsearch(*op)
+                    def _g_full(sub, k):
+                        r = gsearch(params, sub, k)
                         return r.action, r.improved_pi
 
-                    def _g_cheap(op):
-                        r = gsearch_cheap(*op)
+                    def _g_cheap(sub, k):
+                        r = gsearch_cheap(params, sub, k)
+                        # cheap moves emit value-only samples
                         return r.action, jnp.zeros_like(r.improved_pi)
 
-                    action, pi = jax.lax.cond(
-                        full, _g_full, _g_cheap, (params, state, k_noise)
-                    )
+                    action, pi = split_search(_g_full, _g_cheap)
             else:
                 pruned = None
                 if reuse:
@@ -265,11 +314,9 @@ def make_selfplay_fn(
                         ftree, float(forced), float(mcts_cfg.cpuct)
                     )
                 elif full is not None:
-                    counts = jax.lax.cond(
-                        full,
-                        lambda op: root_counts(*op),
-                        lambda op: root_counts_cheap(*op),
-                        (params, state, k_noise),
+                    counts = split_search(
+                        lambda sub, k: root_counts(params, sub, k),
+                        lambda sub, k: root_counts_cheap(params, sub, k),
                     )
                 else:
                     counts = root_counts(params, state, k_noise)
@@ -281,7 +328,7 @@ def make_selfplay_fn(
                 if full is not None:
                     # cheap-search moves advance the game but emit a
                     # VALUE-ONLY training sample (zero pi target)
-                    pi = jnp.where(full, pi, jnp.zeros_like(pi))
+                    pi = jnp.where(full[:, None], pi, jnp.zeros_like(pi))
                 if pruned is not None:
                     # play from the raw counts (the forcing IS the
                     # exploration), train on the pruned ones (Wu 2020

@@ -74,13 +74,28 @@ def test_mixed_prob_produces_both_kinds(gumbel):
     assert bool(np.asarray(stats.done).all())
     full = pi_row_kind(traj)
     assert full.any() and (~full).any()
-    # the coin is per STEP: within a time step all valid rows agree
+
+
+@pytest.mark.parametrize("gumbel", [False, True])
+def test_coin_is_per_game_and_stratified(gumbel):
+    """KataGo §3.1's lever is per-position: within a move-step, EXACTLY
+    round(p*B) games get the full budget (stratified split), and the
+    assignment varies across steps — no batch-shared coin."""
+    B, p = 8, 0.5
+    traj, _ = play(p_full=p, gumbel=gumbel, seed=5, B=B)
     pi = np.asarray(traj.pi)
     valid = np.asarray(traj.valid)
+    mixed_steps = 0
+    patterns = set()
     for t in range(pi.shape[0]):
-        if valid[t].any():
-            kinds = pi[t][valid[t]].sum(-1) > 0.5
-            assert kinds.all() or not kinds.any()
+        if valid[t].all():  # full-batch steps: the count is exact
+            kinds = pi[t].sum(-1) > 0.5
+            assert kinds.sum() == round(p * B)
+            patterns.add(tuple(kinds))
+            if kinds.any() and not kinds.all():
+                mixed_steps += 1
+    assert mixed_steps > 0          # per-game, not per-step
+    assert len(patterns) > 1        # assignment re-randomized per step
 
 
 def test_value_only_rows_flow_through_replay():
