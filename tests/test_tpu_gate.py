@@ -143,6 +143,89 @@ def test_hybrid_gomoku_move_matches_golden(goldens):
     _check(goldens, "hybrid_gomoku_uniform_counts_head", counts[:4])
 
 
+def test_hybrid_hex_move_matches_golden(goldens):
+    """Fourth game on the hybrid engine under real Mosaic: the
+    parity-lane flat ops (games/hex.py ``HexFlatOps``) keep the kernel
+    side to dense f32 arithmetic — the data-dependent flood-fill
+    terminal (games/hex.py:56-72) runs only in the engine's XLA stage.
+    Both the pure-kernel (uniform) and model-forward (MLP) paths are
+    frozen."""
+    from alphazero_tpu.games import Hex
+    from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
+    from alphazero_tpu.models import (
+        MLPNet,
+        init_flax_model,
+        make_flax_apply_fn,
+        make_uniform_model,
+    )
+
+    game = Hex()
+    cfg = MCTSConfig(num_sims=16, max_depth=56)
+    state = _positions(game, 256, 5, seed=15)
+
+    net = make_uniform_model(game)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg)
+    assert hybrid is not None
+    counts = np.asarray(jax.jit(hybrid)({}, state))
+    assert counts.sum(-1).max() == 16
+    _check(goldens, "hybrid_hex_uniform_counts_head", counts[:4])
+
+    model = MLPNet(num_actions=game.num_actions, hidden=(32, 32))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(4), game.feature_shape)
+    hybrid_mlp = make_hybrid_root_fn(game, apply_fn, cfg)
+    assert hybrid_mlp is not None
+    counts_mlp = np.asarray(jax.jit(hybrid_mlp)(params, state))
+    _check(goldens, "hybrid_hex_mlp_counts_head", counts_mlp[:4])
+
+
+def test_gumbel_move_matches_golden(goldens):
+    """Gumbel sequential-halving engine (mcts/gumbel.py — the engine the
+    recommended economy preset selects) on the real chip: eval-mode
+    (zero-Gumbel) root counts + winning actions frozen, plus a
+    sampled-Gumbel arm to cover ``jax.random.gumbel`` on-device."""
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.mcts.gumbel import make_gumbel_search_fn
+    from alphazero_tpu.models import MLPNet, init_flax_model, make_flax_apply_fn
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32, 32))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(5), game.feature_shape)
+    cfg = MCTSConfig(
+        num_sims=32, max_depth=48, gumbel=True, dirichlet_alpha=None
+    )
+    search = jax.jit(make_gumbel_search_fn(game, apply_fn, cfg))
+    state = _positions(game, 256, 4, seed=16)
+    res = search(params, state)  # rng=None -> eval mode (zero Gumbel)
+    counts = np.asarray(res.tree.root_counts())
+    assert counts.sum(-1).max() == 32
+    _check(goldens, "gumbel_c4_mlp_eval_counts_head", counts[:8])
+    _check(goldens, "gumbel_c4_mlp_eval_action_head", np.asarray(res.action)[:16])
+    res2 = search(params, state, rng=jax.random.key(7))
+    _check(goldens, "gumbel_c4_mlp_rng_action_head", np.asarray(res2.action)[:16])
+
+
+def test_tt_move_matches_golden(goldens):
+    """Transposition-DAG engine (mcts/tt.py — exact-state probe +
+    dedup-continue descents) on the real chip: root counts and the
+    per-game dedup-link diagnostic frozen."""
+    from alphazero_tpu.games import ConnectFour
+    from alphazero_tpu.mcts.tt import make_tt_search_fn
+    from alphazero_tpu.models import make_uniform_model
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=25, max_depth=48, transposition=True)
+    search = jax.jit(make_tt_search_fn(game, net.apply_fn, cfg))
+    state = _positions(game, 64, 6, seed=17)
+    tree = search({}, state)
+    counts = np.asarray(tree.root_counts())
+    assert counts.sum(-1).max() == 25
+    _check(goldens, "tt_c4_uniform_counts_head", counts[:8])
+    _check(goldens, "tt_c4_uniform_dedup_head", np.asarray(tree.dedup)[:16])
+
+
 def test_folded_eval_matches_golden(goldens):
     from alphazero_tpu.games import ConnectFour
     from alphazero_tpu.models import AZResNet, init_flax_model, make_flax_apply_fn
