@@ -133,9 +133,16 @@ class Coach:
             self._insert = jax.jit(insert_fn, donate_argnums=0)
             self._train_phase = jax.jit(train_fn)
             if rz_cfg is not None:
+                import functools
+
                 self.positions = pos_init_fn()
                 self._reanalyze = jax.jit(rz_fn)
-                self._pos_insert = jax.jit(position_insert, donate_argnums=0)
+                self._pos_insert = jax.jit(
+                    functools.partial(
+                        position_insert, stride=rz_cfg.record_stride
+                    ),
+                    donate_argnums=0,
+                )
             arena_sharding = None
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -186,12 +193,15 @@ class Coach:
             if rz_cfg is not None:
                 from alphazero_tpu.reanalyze import PositionStore
 
+                import functools
+
                 pos_sd = jax.eval_shape(pos_init_fn)
                 pos_sh = PositionStore(
                     states=jax.tree_util.tree_map(
                         lambda _: data_b, pos_sd.states
                     ),
                     value=data_b,
+                    born=data_b,
                     pos=repl,
                     size=repl,
                 )
@@ -201,13 +211,18 @@ class Coach:
                     out_shardings=(
                         jax.tree_util.tree_map(lambda _: data_tb, jax.eval_shape(
                             rz_fn, variables_of(self.incumbent),
-                            pos_sd, jax.random.key(0),
+                            pos_sd, jax.random.key(0), 0,
                         )[0]),
+                        repl,
                         repl,
                     ),
                 )
                 self._pos_insert = jax.jit(
-                    position_insert, out_shardings=pos_sh, donate_argnums=0
+                    functools.partial(
+                        position_insert, stride=rz_cfg.record_stride
+                    ),
+                    out_shardings=pos_sh,
+                    donate_argnums=0,
                 )
             self._train_phase = jax.jit(
                 train_fn, out_shardings=(tstate_sh, repl)
@@ -376,22 +391,36 @@ class Coach:
             )
         except Exception:
             # checkpoint may predate an optional subtree (the reanalyze
-            # position ring / the anchored-pool snapshots): restore
-            # everything else and start those empty
+            # position ring / the anchored-pool snapshots) or an added
+            # field inside one (e.g. the position ring's `born` stamps):
+            # drop the SMALLEST set of optional subtrees that restores,
+            # keep the rest, and start the dropped ones empty
+            import itertools
+            import logging
+
             optional = [k for k in ("positions", "pool") if k in template]
             if not optional:
                 raise
-            for k in optional:
-                template.pop(k)
-            payload, sidecar = restore_checkpoint(
-                self.cfg.checkpoint_dir, step, template
-            )
-            import logging
-
+            payload = None
+            for r in range(1, len(optional) + 1):
+                for drop in itertools.combinations(optional, r):
+                    t2 = {k: v for k, v in template.items() if k not in drop}
+                    try:
+                        payload, sidecar = restore_checkpoint(
+                            self.cfg.checkpoint_dir, step, t2
+                        )
+                        dropped = drop
+                        break
+                    except Exception:
+                        continue
+                if payload is not None:
+                    break
+            if payload is None:
+                raise
             logging.getLogger(__name__).warning(
-                "checkpoint lacks optional subtree(s) %s — resuming with "
-                "them empty (they repopulate as the run proceeds)",
-                optional,
+                "checkpoint predates optional subtree(s) %s — resuming "
+                "with them empty (they repopulate as the run proceeds)",
+                list(dropped),
             )
         self.incumbent = TrainState(**payload["incumbent"])
         from alphazero_tpu.replay import ReplayState
@@ -516,24 +545,31 @@ class Coach:
                 self.replay = self._insert(self.replay, traj)
                 if self._reanalyze is not None:
                     self.positions = self._pos_insert(
-                        self.positions, sp_out[2], traj.value, traj.valid
+                        self.positions, sp_out[2], traj.value, traj.valid,
+                        self.iteration,
                     )
                 jax.block_until_ready(self.replay.pos)
             if self.example_store is not None:
                 self._archive_examples(traj)
         reanalyzed = None
+        reanalyze_age = None
         if (
             self._reanalyze is not None
             and (self.iteration + 1) % cfg.reanalyze.interval == 0
         ):
             (k_rz,) = self._split(1)
             with self.timer.phase("reanalyze"):
-                rz_traj, rz_num = self._reanalyze(
-                    variables_of(self.incumbent), self.positions, k_rz
+                rz_traj, rz_num, rz_age = self._reanalyze(
+                    variables_of(self.incumbent), self.positions, k_rz,
+                    self.iteration,
                 )
                 self.replay = self._insert(self.replay, rz_traj)
                 jax.block_until_ready(self.replay.pos)
             reanalyzed = int(rz_num)
+            # staleness metric: mean age (iterations) of the refreshed
+            # positions — ~0 means the ring wraps within an iteration
+            # and reanalyze is refreshing targets that were never stale
+            reanalyze_age = round(float(rz_age), 3)
         with self.timer.phase("train"):
             candidate, losses = self._train_phase(self.incumbent, self.replay, k_train)
             jax.block_until_ready(losses)
@@ -579,6 +615,11 @@ class Coach:
             "selfplay_truncated": selfplay_truncated,
             "eval_folded": self._eval_folded,
             **({"reanalyzed": reanalyzed} if reanalyzed is not None else {}),
+            **(
+                {"reanalyze_age_mean": reanalyze_age}
+                if reanalyze_age is not None
+                else {}
+            ),
             **({"anchor_win_rate": round(anchor, 4)} if anchor is not None else {}),
             **(
                 {"anchored_elo": round(anchored_elo, 2)}

@@ -234,6 +234,15 @@ class ReanalyzeConfig:
     interval: int = 1            # run the pass every k coach iterations
     capacity: int = 1 << 16      # position-ring slots (pre-symmetry)
     num_sims: Optional[int] = None  # re-search budget; defaults to MCTS's
+    record_stride: int = 1       # record every k-th valid sample. SIZING
+    #                              RULE: the staleness window in iterations
+    #                              is capacity*record_stride /
+    #                              (selfplay.batch_size * avg game length)
+    #                              — keep it >= a few iterations or the
+    #                              ring wraps mid-iteration and the pass
+    #                              refreshes targets that were never stale
+    #                              (the coach reports the measured window
+    #                              as `reanalyze_age_mean` per pass)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -47,6 +47,7 @@ class PositionStore(NamedTuple):
 
     states: Any        # pytree, each leaf [Cap, ...leaf shape]
     value: jax.Array   # f32[Cap] outcome from the position's to-move view
+    born: jax.Array    # i32[Cap] coach iteration the position was recorded
     pos: jax.Array     # i32[] next write slot
     size: jax.Array    # i32[] live position count (<= Cap)
 
@@ -60,26 +61,49 @@ def position_init(game, capacity: int) -> PositionStore:
     return PositionStore(
         states=states,
         value=jnp.zeros((capacity,), jnp.float32),
+        born=jnp.zeros((capacity,), jnp.int32),
         pos=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
     )
 
 
 def position_insert(
-    store: PositionStore, states, value: jax.Array, valid: jax.Array
+    store: PositionStore,
+    states,
+    value: jax.Array,
+    valid: jax.Array,
+    iteration: jax.Array = 0,
+    *,
+    stride: int = 1,
 ) -> PositionStore:
     """Insert the valid positions of a recorded self-play batch.
 
     ``states``: [T, B, ...] pytree from ``record_states=True`` self-play;
-    ``value``/``valid``: the matching Trajectory fields [T, B].
+    ``value``/``valid``: the matching Trajectory fields [T, B];
+    ``iteration``: the coach iteration stamp (drives the staleness
+    metric — ``make_reanalyze_fn`` reports the mean age of refreshed
+    positions in iterations).
+
+    ``stride`` (static) records only every ``stride``-th valid sample:
+    at production scale one iteration can produce more positions than
+    the ring holds (flagship: 4096 games x ~25 moves ≈ 100k+ vs the
+    default 65536 slots), so recording everything makes "reanalyze"
+    refresh targets that are at most half an iteration old. Subsampling
+    stretches the same capacity over ``stride``x more iterations:
+    staleness window ≈ capacity · stride / (batch_size · avg_moves).
+    ``stride=1`` is bit-identical to the unstrided insert.
     """
     cap = store.value.shape[0]
     n = value.shape[0] * value.shape[1]
     flat = lambda x: x.reshape((n,) + x.shape[2:])
     valid = flat(valid)
-    offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    idx = jnp.where(valid, (store.pos + offs) % cap, cap)  # cap -> dropped
+    ranks = jnp.cumsum(valid.astype(jnp.int32)) - 1  # rank among valids
+    if stride > 1:
+        valid = valid & (ranks % stride == 0)
+        ranks = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    idx = jnp.where(valid, (store.pos + ranks) % cap, cap)  # cap -> dropped
     num = valid.sum().astype(jnp.int32)
+    stamp = jnp.full((n,), jnp.asarray(iteration, jnp.int32))
     return PositionStore(
         states=jax.tree_util.tree_map(
             lambda buf, x: buf.at[idx].set(flat(x), mode="drop"),
@@ -87,6 +111,7 @@ def position_insert(
             states,
         ),
         value=store.value.at[idx].set(flat(value), mode="drop"),
+        born=store.born.at[idx].set(stamp, mode="drop"),
         pos=(store.pos + num) % cap,
         size=jnp.minimum(store.size + num, cap),
     )
@@ -98,12 +123,18 @@ def make_reanalyze_fn(
     mcts_cfg: MCTSConfig,
     rz_cfg: ReanalyzeConfig,
     mesh=None,
-) -> Callable[[Any, PositionStore, jax.Array], Tuple[Trajectory, jax.Array]]:
-    """Build ``reanalyze(params, store, rng) -> (Trajectory, num_refreshed)``.
+) -> Callable[..., Tuple[Trajectory, jax.Array, jax.Array]]:
+    """Build ``reanalyze(params, store, rng, iteration) ->
+    (Trajectory, num_refreshed, age_mean)``.
 
     The trajectory is [1, batch_size] (one "move" of batch_size samples)
     so it feeds straight into ``replay_insert``. Rows drawn from an empty
     store are invalid-masked; ``num_refreshed`` counts the live ones.
+    ``age_mean`` is the mean age in coach iterations (current
+    ``iteration`` minus each refreshed position's insert stamp) — the
+    staleness metric: if it hovers below ~1 the ring is wrapping within
+    an iteration and the pass is refreshing targets that were never
+    stale (raise ``capacity`` or ``record_stride``).
     """
     search_cfg = dataclasses.replace(
         mcts_cfg,
@@ -126,7 +157,7 @@ def make_reanalyze_fn(
     feat_v = jax.vmap(game.to_features)
     R = int(rz_cfg.batch_size)
 
-    def reanalyze(params, store: PositionStore, rng: jax.Array):
+    def reanalyze(params, store: PositionStore, rng: jax.Array, iteration=0):
         k_idx, k_search = jax.random.split(rng)
         idx = jax.random.randint(k_idx, (R,), 0, jnp.maximum(store.size, 1))
         states = jax.tree_util.tree_map(lambda buf: buf[idx], store.states)
@@ -144,6 +175,11 @@ def make_reanalyze_fn(
             value=(store.value[idx] * valid)[None],
             valid=valid[None],
         )
-        return traj, valid.sum().astype(jnp.int32)
+        num = valid.sum().astype(jnp.int32)
+        age = (jnp.asarray(iteration, jnp.int32) - store.born[idx]).astype(
+            jnp.float32
+        )
+        age_mean = (age * valid).sum() / jnp.maximum(num, 1)
+        return traj, num, age_mean
 
     return reanalyze
