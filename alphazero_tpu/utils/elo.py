@@ -94,58 +94,66 @@ def fit_elo(
     regularizes players with sweep-only records (otherwise their MLE
     strength diverges).
     """
-    # aggregate pairwise win matrix
+    import numpy as np
+
+    # aggregate the match list ONCE into per-unordered-pair totals (long
+    # production runs persist every pool match forever — coach.py keeps
+    # the sidecar append-only — so the fit must be O(aggregated edges)
+    # per sweep, not O(players·raw matches))
     wins: Dict[Tuple[object, object], float] = {}
     players: List[object] = []
+    index: Dict[object, int] = {}
+
+    def intern(p):
+        if p not in index:
+            index[p] = len(players)
+            players.append(p)
+        return index[p]
 
     def add(i, j, w):
         if w <= 0:
             return
         wins[(i, j)] = wins.get((i, j), 0.0) + w
 
-    seen = set()
     for m in matches:
-        a, b = m["a"], m["b"]
-        for p in (a, b):
-            if p not in seen:
-                seen.add(p)
-                players.append(p)
+        a, b = intern(m["a"]), intern(m["b"])
         add(a, b, m["wins_a"] + 0.5 * m["draws"])
         add(b, a, m["wins_b"] + 0.5 * m["draws"])
-    if anchor not in seen:
-        seen.add(anchor)
-        players.append(anchor)
+    a_idx = intern(anchor)
     # virtual half-draw vs the anchor: keeps every player's MLE finite
-    for p in players:
-        if p != anchor:
-            add(p, anchor, 0.25)
-            add(anchor, p, 0.25)
+    for p in range(len(players)):
+        if p != a_idx:
+            add(p, a_idx, 0.25)
+            add(a_idx, p, 0.25)
 
-    s = {p: 1.0 for p in players}
+    P = len(players)
+    # directed win totals per player, undirected edge list with game counts
+    w_total = np.zeros(P)
+    for (i, _), w in wins.items():
+        w_total[i] += w
+    und: Dict[Tuple[int, int], float] = {}
+    for (i, j), w in wins.items():
+        key = (i, j) if i <= j else (j, i)
+        und[key] = und.get(key, 0.0) + w
+    ei = np.fromiter((k[0] for k in und), np.int64, len(und))
+    ej = np.fromiter((k[1] for k in und), np.int64, len(und))
+    en = np.fromiter(und.values(), np.float64, len(und))
+
+    # MM sweeps (Hunter 2004), fully vectorized over the edge arrays
+    s = np.ones(P)
     for _ in range(iters):
-        delta = 0.0
-        new_s = {}
-        for p in players:
-            w_total = sum(w for (i, _), w in wins.items() if i == p)
-            denom = 0.0
-            for q in players:
-                if q == p:
-                    continue
-                n_pq = wins.get((p, q), 0.0) + wins.get((q, p), 0.0)
-                if n_pq > 0:
-                    denom += n_pq / (s[p] + s[q])
-            new_s[p] = w_total / denom if denom > 0 else s[p]
-        # renormalize to the anchor each sweep (fixes the gauge freedom)
-        scale = new_s[anchor]
-        for p in players:
-            new_s[p] /= scale
-            delta = max(delta, abs(new_s[p] - s[p]))
-            s[p] = new_s[p]
+        contrib = en / (s[ei] + s[ej])
+        denom = np.bincount(ei, weights=contrib, minlength=P)
+        denom += np.bincount(ej, weights=contrib, minlength=P)
+        new_s = np.where(denom > 0, w_total / np.maximum(denom, 1e-300), s)
+        new_s = new_s / new_s[a_idx]  # re-pin the gauge each sweep
+        delta = float(np.max(np.abs(new_s - s))) if P else 0.0
+        s = new_s
         if delta < tol:
             break
 
     return {
-        p: anchor_rating + _ELO_SCALE * math.log(s[p]) for p in players
+        p: anchor_rating + _ELO_SCALE * math.log(s[index[p]]) for p in players
     }
 
 
@@ -168,24 +176,25 @@ def elo_standard_errors(
 
     games: Dict[Tuple[object, object], float] = {}
     players: List[object] = []
-    seen = set()
+    order: Dict[object, int] = {}
+
+    def intern(p):
+        if p not in order:
+            order[p] = len(players)
+            players.append(p)
+        return order[p]
 
     def add_pair(i, j, n):
         if n <= 0:
             return
-        key = (i, j) if players.index(i) <= players.index(j) else (j, i)
+        key = (i, j) if order[i] <= order[j] else (j, i)
         games[key] = games.get(key, 0.0) + n
 
     for m in matches:
         a, b = m["a"], m["b"]
-        for p in (a, b):
-            if p not in seen:
-                seen.add(p)
-                players.append(p)
+        intern(a), intern(b)
         add_pair(a, b, m["wins_a"] + m["wins_b"] + m["draws"])
-    if anchor not in seen:
-        seen.add(anchor)
-        players.append(anchor)
+    intern(anchor)
     for p in players:
         if p != anchor:
             add_pair(p, anchor, 0.5)  # fit_elo's virtual half-draw
@@ -207,6 +216,13 @@ def elo_standard_errors(
         if p in idx and q in idx:
             info[idx[p], idx[q]] -= w
             info[idx[q], idx[p]] -= w
-    cov = np.linalg.pinv(info)
+    # the virtual half-draws make the free-player information matrix
+    # positive definite in the common case — Cholesky-solve for the
+    # covariance (pinv's SVD is ~10x slower at 1000 generations); fall
+    # back to the pseudo-inverse for degenerate graphs
+    try:
+        cov = np.linalg.solve(info, np.eye(len(free)))
+    except np.linalg.LinAlgError:
+        cov = np.linalg.pinv(info)
     var = np.clip(np.diag(cov), 0.0, None)
     return {p: float(_ELO_SCALE * math.sqrt(var[idx[p]])) for p in free}

@@ -255,6 +255,53 @@ def test_elo_standard_errors():
     assert "anchor" not in ses
 
 
+def test_fit_elo_scales_to_long_runs():
+    """A 1000-generation synthetic match graph (chain + anchor spokes +
+    an un-aggregated duplicate-match pile, ~12k raw records) fits, with
+    SEs, in about a second — the fit is O(aggregated edges) per MM sweep,
+    so a long production run's append-only match sidecar (coach.py pool
+    persistence) stays cheap to refit every anchor pass."""
+    import time
+
+    from alphazero_tpu.utils.elo import elo_standard_errors, fit_elo
+
+    rng = np.random.default_rng(0)
+    ms = []
+    for g in range(1, 1000):
+        # each generation plays its predecessor and (sparsely) the anchor;
+        # raw records are intentionally NOT pre-aggregated (duplicates)
+        for _ in range(4):
+            ms.append(
+                {
+                    "a": g,
+                    "b": g - 1,
+                    "wins_a": int(rng.integers(3, 8)),
+                    "wins_b": int(rng.integers(1, 5)),
+                    "draws": int(rng.integers(0, 3)),
+                }
+            )
+        if g % 10 == 0:
+            ms.append(
+                {
+                    "a": g,
+                    "b": "anchor",
+                    "wins_a": int(rng.integers(5, 10)),
+                    "wins_b": int(rng.integers(1, 5)),
+                    "draws": 0,
+                }
+            )
+    t0 = time.monotonic()
+    r = fit_elo(ms, "anchor")
+    ses = elo_standard_errors(ms, "anchor", r)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 3.0, f"1000-generation fit took {elapsed:.2f}s"
+    assert r["anchor"] == 0.0
+    assert len(r) == 1001 and len(ses) == 1000
+    assert all(np.isfinite(v) for v in r.values())
+    # the chain trends upward: late generations outrate early ones
+    assert r[999] > r[10]
+
+
 def test_anchored_rating_pass(tmp_path):
     """Every anchor_interval iterations the coach plays the pure-MCTS
     anchor + the snapshot pool, refits anchored Elo, and persists the
