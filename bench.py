@@ -88,23 +88,41 @@ def main():
     key = jax.random.key(0)
     sync = tunnel_sync
 
-    # warmup: compile + 2 steps
-    for i in range(2):
+    # warmup: compile + enough steps to reach the actor's STEADY STATE.
+    # The first ~20 moves after a cold start are all lockstep opening
+    # positions — wide shallow trees, short PUCT descents — and run ~18%
+    # faster than the steady-state mix that includes endgame boards
+    # (narrow deep trees -> longer descents). Rounds 1-3 measured that
+    # transient (2-step warmup); per-window timing shows 4.74s for steps
+    # 2-22 then a tight 5.55-5.62s plateau from step ~40 on. The honest
+    # metric is the plateau.
+    warmup = int(os.environ.get("AZ_BENCH_WARMUP", 40))
+    for i in range(warmup):
         key, sub = jax.random.split(key)
         carry, pi = step({}, carry, sub)
     sync(pi)
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        key, sub = jax.random.split(key)
-        carry, pi = step({}, carry, sub)
-    sync(pi)
-    dt = time.perf_counter() - t0
+    # variance protocol: round-over-round single shots were
+    # indistinguishable from tunnel noise (±few %), so the headline is
+    # the MEDIAN of `repeats` timed windows, with the min/max spread
+    # reported alongside — a real regression must clear the spread.
+    repeats = int(os.environ.get("AZ_BENCH_REPEATS", 3))
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            carry, pi = step({}, carry, sub)
+        sync(pi)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     env_steps = steps * batch
     eps = env_steps / dt
     n_chips = max(jax.device_count(), 1)
     eps_per_chip = eps / n_chips
+    eps_min = env_steps / max(times) / n_chips
+    eps_max = env_steps / min(times) / n_chips
 
     print(
         json.dumps(
@@ -117,7 +135,19 @@ def main():
                     "batch_games": batch,
                     "sims_per_move": sims,
                     "timed_moves": steps,
-                    "seconds": round(dt, 3),
+                    "warmup_moves": warmup,
+                    "repeats": repeats,
+                    "seconds_median": round(dt, 3),
+                    "seconds_all": [round(t, 3) for t in times],
+                    "eps_spread": [round(eps_min, 1), round(eps_max, 1)],
+                    # drift visibility: previous rounds' recorded values.
+                    # NOT directly comparable — r1-r3 used a 2-step warmup
+                    # and so timed the ~18%-cheaper cold-start transient
+                    # (lockstep opening moves only); r4+ time the
+                    # steady-state plateau (see warmup comment).
+                    "prev_rounds": {"r1": 287843.1, "r2": 279010.7,
+                                    "r3": 276878.8},
+                    "protocol": "steady_state_median",
                     "sims_per_sec": round(eps * sims, 0),
                     "backend": jax.default_backend(),
                     "devices": n_chips,
