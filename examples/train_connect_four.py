@@ -151,9 +151,12 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
             # economy extends to the run harness: the replay-bearing
             # whole-state checkpoint (~hundreds of MB at 1<<20 capacity)
-            # costs ~30 s of a ~5 s iteration if saved every time —
-            # amortize it (resume granularity stays 5 iterations; the
-            # final state is always saved)
+            # costs 35-186 s per save at this capacity (measured as ts
+            # gaps in resnet_economy_preset_50iter_gumbel32_tpu_v5e.jsonl)
+            # against a ~5 s iteration — amortize it (resume granularity
+            # stays 5 iterations; the final state is always saved). Even
+            # amortized it dominates true elapsed time; see the README's
+            # economy paragraph for the compute-vs-elapsed split.
             checkpoint_interval=5,
             keep_checkpoints=4,
         )

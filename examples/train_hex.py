@@ -4,9 +4,10 @@
 Beyond the reference's scope (its only game is Connect-Four): Hex is a
 CONNECTION game — the win check is graph reachability (an on-device
 flood fill, games/hex.py) and the players' asymmetric goals are
-reconciled by a transpose-negate canonical form. No flat-ops kernel
-exists for reachability, so self-play rides the general XLA engine (the
-ladder's fallback) — or the Gumbel engine with ``--gumbel``. Everything
+reconciled by a transpose-negate canonical form. On TPU self-play rides
+the hybrid Pallas engine via ``HexFlatOps`` (parity-lane storage keeps
+the kernel to dense arithmetic; the flood-fill terminal runs in the
+engine's XLA stage) — or the Gumbel engine with ``--gumbel``. Everything
 else — coach, replay, learner, arena, anchored Elo, checkpoints — is
 the same machinery as the other games.
 

@@ -76,7 +76,7 @@ def flagship():
     # of (label, artifact)). The economy preset rides the connect-four
     # panel: same game/net, gumbel-32 search at ~half the wall-clock.
     overlays = {
-        0: [("economy · gumbel-32 (50 iters, 0.52x wall)",
+        0: [("economy · gumbel-32 (50 iters, 0.52x compute)",
              "resnet_economy_preset_50iter_gumbel32_tpu_v5e.jsonl")],
     }
     fig, axes = plt.subplots(1, 4, figsize=(14, 3.2), sharey=False)
@@ -93,8 +93,13 @@ def flagship():
                     xytext=(2, 6), fontsize=9, color=INK)
         for j, (label, oname) in enumerate(overlays.get(i, [])):
             oxs, oys = load_curve(oname)
-            ax.plot(oxs, oys, color=SERIES[j + 1], linewidth=2, label=label)
+            omarker = "o" if len(oxs) <= 6 else None
+            ax.plot(oxs, oys, color=SERIES[j + 1], linewidth=2, label=label,
+                    marker=omarker, markersize=4)
             ax.scatter(oxs[-1:], oys[-1:], s=18, color=SERIES[j + 1], zorder=3)
+            ax.annotate(f"{oys[-1]:.0f}", (oxs[-1], oys[-1]),
+                        textcoords="offset points", xytext=(2, 6),
+                        fontsize=9, color=INK)
         if i in overlays:
             ax.legend(fontsize=7.5, frameon=False, labelcolor=INK2)
         ax.set_title(title, fontsize=9.5, color=INK)
