@@ -709,6 +709,25 @@ def make_fused_root_fn(
 
     feat_dummy = getattr(apply_fn, "needs_features", True)
 
+    def run_kernel_sorted(boards: jax.Array, priors: jax.Array, weights=()):
+        """Depth-sorted blocking: the descent while_loop runs until the
+        DEEPEST game in a block finishes, so one endgame board (narrow
+        deep tree) stalls its whole 256-game block at the opening boards'
+        expense — measured ~18% of steady-state wall (bench.py warmup
+        note). Stable-sorting games by a depth proxy (stone count read
+        off the board lanes) groups like-depth games into the same block,
+        turning sum-over-blocks-of-max-depth into near-quantile maxes.
+        Results are scattered back to the original order — per-game lanes
+        never interact inside the kernel, so counts are bit-identical to
+        the unsorted call (asserted by tests/test_fused.py)."""
+        if boards.shape[0] <= 256 or os.environ.get("AZ_FUSED_NOSORT"):
+            return run_kernel(boards, priors, weights)
+        depth_proxy = jnp.sum(jnp.abs(boards), axis=-1)
+        order = jnp.argsort(depth_proxy)  # stable -> deterministic
+        counts, rootw = run_kernel(boards[order], priors[order], weights)
+        inv = jnp.argsort(order)
+        return counts[inv], rootw[inv]
+
     def root_counts(params, root_state, rng: Optional[jax.Array] = None) -> jax.Array:
         """Fused-search root visit counts; root-prior path (masked softmax
         of the model's constant logits + optional Dirichlet) mirrors
@@ -721,7 +740,7 @@ def make_fused_root_fn(
             from jax.sharding import PartitionSpec as P
 
             sharded = jax.shard_map(
-                lambda b, pr, *w: run_kernel(b, pr, w)[0],
+                lambda b, pr, *w: run_kernel_sorted(b, pr, w)[0],
                 mesh=mesh,
                 in_specs=(P(data_axis), P(data_axis)) + (P(),) * len(weights),
                 out_specs=P(data_axis),
@@ -729,7 +748,7 @@ def make_fused_root_fn(
                 check_vma=False,
             )
             return sharded(boards, p_masked, *weights)
-        counts, _ = run_kernel(boards, p_masked, weights)
+        counts, _ = run_kernel_sorted(boards, p_masked, weights)
         return counts
 
     return root_counts

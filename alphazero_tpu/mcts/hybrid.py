@@ -928,6 +928,22 @@ def make_hybrid_root_fn(
         )
         return planes[0][:, :, 0]
 
+    def run_search_sorted(boards, p_masked, params):
+        """Depth-sorted blocking, same rationale as fused.py
+        ``run_kernel_sorted``: the descend kernel's while_loop runs to
+        the deepest game in each block, so stable-sorting games by stone
+        count groups like-depth games and stops one endgame board from
+        stalling a block of opening boards. Per-game lanes never
+        interact (and the model forward is row-independent), so counts
+        are bit-identical to the unsorted call — asserted by
+        tests/test_hybrid.py."""
+        if boards.shape[0] <= 256 or os.environ.get("AZ_FUSED_NOSORT"):
+            return run_search(boards, p_masked, params)
+        depth_proxy = jnp.sum(jnp.abs(boards), axis=-1)
+        order = jnp.argsort(depth_proxy)  # stable -> deterministic
+        counts = run_search(boards[order], p_masked[order], params)
+        return counts[jnp.argsort(order)]
+
     def root_counts(params, root_state, rng: Optional[jax.Array] = None) -> jax.Array:
         boards = ops.from_state(root_state)
 
@@ -939,7 +955,7 @@ def make_hybrid_root_fn(
             from jax.sharding import PartitionSpec as P
 
             sharded = jax.shard_map(
-                run_search,
+                run_search_sorted,
                 mesh=mesh,
                 in_specs=(P(data_axis), P(data_axis), P()),
                 out_specs=P(data_axis),
@@ -947,6 +963,6 @@ def make_hybrid_root_fn(
                 check_vma=False,
             )
             return sharded(boards, p_masked, params)
-        return run_search(boards, p_masked, params)
+        return run_search_sorted(boards, p_masked, params)
 
     return root_counts

@@ -51,6 +51,32 @@ def test_fused_matches_xla_engine(moves):
     np.testing.assert_array_equal(c_xla, c_fused)
 
 
+def test_fused_sorted_blocking_identical():
+    """Depth-sorted blocking (fused.py run_kernel_sorted — groups
+    like-depth games into the same block so one endgame board doesn't
+    stall a block of opening boards) is a pure wall-clock optimization:
+    counts at B>256 match the unsorted kernel bit-exactly."""
+    import os
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=8, max_depth=24)
+    fused = make_fused_root_fn(game, net.apply_fn, cfg, block_size=32)
+    state = _random_positions(game, 288, 9, seed=3)
+    c_sorted = np.array(fused({}, state))
+    os.environ["AZ_FUSED_NOSORT"] = "1"
+    try:
+        c_plain = np.array(fused({}, state))
+    finally:
+        del os.environ["AZ_FUSED_NOSORT"]
+    np.testing.assert_array_equal(c_sorted, c_plain)
+    # the proxy actually varied (the sort did something)
+    from alphazero_tpu.games.connect_four import ConnectFourState
+
+    stones = np.asarray(jnp.sum(jnp.abs(state.board), axis=(1, 2)))
+    assert len(np.unique(stones)) > 1
+
+
 def test_fused_capacity_limited_matches():
     """Slot exhaustion (max_nodes < sims) degrades identically."""
     game = ConnectFour()

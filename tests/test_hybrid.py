@@ -64,6 +64,27 @@ def test_hybrid_resnet_matches_xla_engine():
     _check_match(game, apply_fn, params, cfg, moves=2, seed=2)
 
 
+def test_hybrid_sorted_blocking_identical():
+    """Depth-sorted blocking (hybrid.py run_search_sorted) is a pure
+    wall-clock optimization: counts at B>256 match the unsorted path
+    bit-exactly (per-game kernel lanes and the row-independent model
+    forward make the permutation invisible)."""
+    import os
+
+    game = ConnectFour()
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=6, max_depth=24)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=32)
+    state = _random_positions(game, 288, 9, seed=5)
+    c_sorted = np.array(hybrid({}, state))
+    os.environ["AZ_FUSED_NOSORT"] = "1"
+    try:
+        c_plain = np.array(hybrid({}, state))
+    finally:
+        del os.environ["AZ_FUSED_NOSORT"]
+    np.testing.assert_array_equal(c_sorted, c_plain)
+
+
 def test_hybrid_capacity_limited_matches():
     game = ConnectFour()
     net = make_uniform_model(game)
