@@ -109,6 +109,25 @@ def main():
          {"max_depth": 48})
     )
 
+    # Hex: the connection game — hybrid via parity-lane flat ops, the
+    # flood-fill terminal in the engine's XLA stage (games/hex.py)
+    from alphazero_tpu.games import Hex
+
+    hx = Hex()
+    unih = make_uniform_model(hx)
+    for B in (1024, 4096):
+        cases.append(
+            (f"hex_uniform_B{B}_100sims", hx, unih.apply_fn, {}, B,
+             {"max_depth": 56})
+        )
+    hmlp = MLPNet(num_actions=hx.num_actions, hidden=(256, 256))
+    hmlp_apply = make_flax_apply_fn(hmlp)
+    hmlp_params = init_flax_model(hmlp, jax.random.key(2), hx.feature_shape)
+    cases.append(
+        ("hex_mlp_B1024_100sims", hx, hmlp_apply, hmlp_params, 1024,
+         {"max_depth": 56})
+    )
+
     for name, game, apply_fn, params, B, over in cases:
         if only and only not in name:
             continue
