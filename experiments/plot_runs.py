@@ -69,15 +69,26 @@ def flagship():
          "othello_resnet_continuous_60iter_anchored_folded_tpu_v5e.jsonl"),
         ("Gomoku 9x9 · ResNet-64x5 · 15 iters (TPU v5e)",
          "gomoku_resnet_full_15iter_tpu_v5e.jsonl"),
-        ("Hex 7x7 · MLP · 20 iters (CPU mesh)",
-         "hex_mlp_20iter_cpu.jsonl"),
+        ("Hex 7x7 · MLP · 24 iters (TPU v5e, hybrid engine)",
+         "hex_mlp_preset_24iter_hybrid_tpu_v5e.jsonl"),
     ]
     # overlays: extra curves drawn into a named panel (panel index -> list
     # of (label, artifact)). The economy preset rides the connect-four
-    # panel: same game/net, gumbel-32 search at ~half the wall-clock.
+    # panel: same game/net, gumbel-32 search at ~half the measured
+    # compute; all three hardware seeds are drawn (the round-4
+    # replication — the label carries the n).
     overlays = {
-        0: [("economy · gumbel-32 (50 iters, 0.52x compute)",
-             "resnet_economy_preset_50iter_gumbel32_tpu_v5e.jsonl")],
+        0: [("economy · gumbel-32 (seed 0, 0.52x compute)",
+             "resnet_economy_preset_50iter_gumbel32_tpu_v5e.jsonl"),
+            ("economy seed 1",
+             "resnet_economy_preset_50iter_gumbel32_s1_tpu_v5e.jsonl"),
+            ("economy seed 2",
+             "resnet_economy_preset_50iter_gumbel32_s2_tpu_v5e.jsonl")],
+    }
+    # overlay seeds 1-2 share seed 0's color at reduced opacity
+    overlay_style = {
+        (0, 1): {"color": SERIES[1], "alpha": 0.55},
+        (0, 2): {"color": SERIES[1], "alpha": 0.55},
     }
     fig, axes = plt.subplots(1, 4, figsize=(14, 3.2), sharey=False)
     fig.patch.set_facecolor(SURFACE)
@@ -92,11 +103,16 @@ def flagship():
         ax.annotate(f"{ys[-1]:.0f}", (xs[-1], ys[-1]), textcoords="offset points",
                     xytext=(2, 6), fontsize=9, color=INK)
         for j, (label, oname) in enumerate(overlays.get(i, [])):
+            if not os.path.exists(os.path.join(RUNS, oname)):
+                continue  # seed artifacts land as their runs finish
             oxs, oys = load_curve(oname)
+            style = overlay_style.get((i, j), {"color": SERIES[j + 1],
+                                               "alpha": 1.0})
             omarker = "o" if len(oxs) <= 6 else None
-            ax.plot(oxs, oys, color=SERIES[j + 1], linewidth=2, label=label,
-                    marker=omarker, markersize=4)
-            ax.scatter(oxs[-1:], oys[-1:], s=18, color=SERIES[j + 1], zorder=3)
+            ax.plot(oxs, oys, linewidth=2, label=label,
+                    marker=omarker, markersize=4, **style)
+            ax.scatter(oxs[-1:], oys[-1:], s=18, color=style["color"],
+                       alpha=style["alpha"], zorder=3)
             ax.annotate(f"{oys[-1]:.0f}", (oxs[-1], oys[-1]),
                         textcoords="offset points", xytext=(2, 6),
                         fontsize=9, color=INK)
