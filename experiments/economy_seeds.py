@@ -39,6 +39,25 @@ def summarize(path, first_n=None):
     tail = anch[-3:]  # settle band: last three anchored points
     compute = sum(sum(r.get(p, 0.0) for p in PHASES) for r in rows)
     elapsed = rows[-1]["ts"] - rows[0]["ts"] if "ts" in rows[0] else None
+    # steady-state compute: raw totals are polluted by the iteration-1
+    # compile (0-550 s depending on cache hits) and rare tunnel stalls
+    # (full_s1 iter 15: 1211 s for the usual 5.7 s of self-play).
+    # Exclude iteration 1 and clip any phase sample >10x that phase's
+    # median to the median, reporting the clipped mass as stall_s.
+    steady_rows = [r for r in rows if r["iteration"] > 1]
+    steady = 0.0
+    stall = 0.0
+    for p in PHASES:
+        vals = sorted(r.get(p, 0.0) for r in steady_rows)
+        if not vals:
+            continue
+        med = vals[len(vals) // 2]
+        for v in vals:
+            if med > 0 and v > 10 * med:
+                steady += med
+                stall += v - med
+            else:
+                steady += v
     return {
         "artifact": os.path.basename(path),
         "iterations": rows[-1]["iteration"],
@@ -49,6 +68,8 @@ def summarize(path, first_n=None):
                         round(max(e for _, e, _ in tail), 1)],
         "gates_accepted": sum(1 for r in rows if r.get("accepted")),
         "compute_s": round(compute, 1),
+        "steady_compute_s": round(steady, 1),
+        "stall_s": round(stall, 1),
         "elapsed_s": round(elapsed, 1) if elapsed is not None else None,
     }
 

@@ -74,21 +74,25 @@ def flagship():
     ]
     # overlays: extra curves drawn into a named panel (panel index -> list
     # of (label, artifact)). The economy preset rides the connect-four
-    # panel: same game/net, gumbel-32 search at ~half the measured
-    # compute; all three hardware seeds are drawn (the round-4
-    # replication — the label carries the n).
+    # panel: same game/net, gumbel-32 search at 0.68x the steady-state
+    # measured compute (docs/runs/economy_seeds_tpu.json); all three
+    # hardware seeds are drawn, plus the full preset's second seed —
+    # the round-4 replication (the labels carry the n).
     overlays = {
-        0: [("economy · gumbel-32 (seed 0, 0.52x compute)",
+        0: [("economy · gumbel-32 (3 seeds, 0.68x steady compute)",
              "resnet_economy_preset_50iter_gumbel32_tpu_v5e.jsonl"),
             ("economy seed 1",
              "resnet_economy_preset_50iter_gumbel32_s1_tpu_v5e.jsonl"),
             ("economy seed 2",
-             "resnet_economy_preset_50iter_gumbel32_s2_tpu_v5e.jsonl")],
+             "resnet_economy_preset_50iter_gumbel32_s2_tpu_v5e.jsonl"),
+            ("full seed 1 (first 50)",
+             "resnet_full_preset_50iter_s1_tpu_v5e.jsonl")],
     }
-    # overlay seeds 1-2 share seed 0's color at reduced opacity
+    # overlay seeds share their arm's color at reduced opacity
     overlay_style = {
         (0, 1): {"color": SERIES[1], "alpha": 0.55},
         (0, 2): {"color": SERIES[1], "alpha": 0.55},
+        (0, 3): {"color": SERIES[0], "alpha": 0.45},
     }
     fig, axes = plt.subplots(1, 4, figsize=(14, 3.2), sharey=False)
     fig.patch.set_facecolor(SURFACE)
