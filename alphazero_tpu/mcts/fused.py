@@ -719,8 +719,15 @@ def make_fused_root_fn(
         turning sum-over-blocks-of-max-depth into near-quantile maxes.
         Results are scattered back to the original order — per-game lanes
         never interact inside the kernel, so counts are bit-identical to
-        the unsorted call (asserted by tests/test_fused.py)."""
-        if boards.shape[0] <= 256 or os.environ.get("AZ_FUSED_NOSORT"):
+        the unsorted call (asserted by tests/test_fused.py).
+
+        Threshold (round-4 A/B, docs/ROUND4.md): +17% at B=65536 on the
+        actor mix, but −3% at the full preset's B=2048 where the NN
+        forward dominates and only 8 blocks exist — the gather/argsort
+        overhead outweighs the blocking win below ~8k games. Default
+        AZ_SORT_MIN_BATCH=8192; AZ_FUSED_NOSORT disables outright."""
+        min_b = int(os.environ.get("AZ_SORT_MIN_BATCH", "8192"))
+        if boards.shape[0] < min_b or os.environ.get("AZ_FUSED_NOSORT"):
             return run_kernel(boards, priors, weights)
         depth_proxy = jnp.sum(jnp.abs(boards), axis=-1)
         order = jnp.argsort(depth_proxy)  # stable -> deterministic

@@ -936,8 +936,12 @@ def make_hybrid_root_fn(
         stalling a block of opening boards. Per-game lanes never
         interact (and the model forward is row-independent), so counts
         are bit-identical to the unsorted call — asserted by
-        tests/test_hybrid.py."""
-        if boards.shape[0] <= 256 or os.environ.get("AZ_FUSED_NOSORT"):
+        tests/test_hybrid.py. Threshold rationale in fused.py
+        ``run_kernel_sorted``: sorting wins +17% at B=65536 but costs
+        ~3% at the NN-bound full preset's B=2048 (round-4 A/B), so it
+        engages only at AZ_SORT_MIN_BATCH (default 8192) games."""
+        min_b = int(os.environ.get("AZ_SORT_MIN_BATCH", "8192"))
+        if boards.shape[0] < min_b or os.environ.get("AZ_FUSED_NOSORT"):
             return run_search(boards, p_masked, params)
         depth_proxy = jnp.sum(jnp.abs(boards), axis=-1)
         order = jnp.argsort(depth_proxy)  # stable -> deterministic

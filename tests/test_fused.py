@@ -63,12 +63,16 @@ def test_fused_sorted_blocking_identical():
     cfg = MCTSConfig(num_sims=8, max_depth=24)
     fused = make_fused_root_fn(game, net.apply_fn, cfg, block_size=32)
     state = _random_positions(game, 288, 9, seed=3)
-    c_sorted = np.array(fused({}, state))
-    os.environ["AZ_FUSED_NOSORT"] = "1"
+    os.environ["AZ_SORT_MIN_BATCH"] = "288"  # default 8192 (round-4 A/B)
     try:
-        c_plain = np.array(fused({}, state))
+        c_sorted = np.array(fused({}, state))
+        os.environ["AZ_FUSED_NOSORT"] = "1"
+        try:
+            c_plain = np.array(fused({}, state))
+        finally:
+            del os.environ["AZ_FUSED_NOSORT"]
     finally:
-        del os.environ["AZ_FUSED_NOSORT"]
+        del os.environ["AZ_SORT_MIN_BATCH"]
     np.testing.assert_array_equal(c_sorted, c_plain)
     # the proxy actually varied (the sort did something)
     from alphazero_tpu.games.connect_four import ConnectFourState

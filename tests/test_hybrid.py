@@ -76,12 +76,16 @@ def test_hybrid_sorted_blocking_identical():
     cfg = MCTSConfig(num_sims=6, max_depth=24)
     hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg, block_size=32)
     state = _random_positions(game, 288, 9, seed=5)
-    c_sorted = np.array(hybrid({}, state))
-    os.environ["AZ_FUSED_NOSORT"] = "1"
+    os.environ["AZ_SORT_MIN_BATCH"] = "288"  # default 8192 (round-4 A/B)
     try:
-        c_plain = np.array(hybrid({}, state))
+        c_sorted = np.array(hybrid({}, state))
+        os.environ["AZ_FUSED_NOSORT"] = "1"
+        try:
+            c_plain = np.array(hybrid({}, state))
+        finally:
+            del os.environ["AZ_FUSED_NOSORT"]
     finally:
-        del os.environ["AZ_FUSED_NOSORT"]
+        del os.environ["AZ_SORT_MIN_BATCH"]
     np.testing.assert_array_equal(c_sorted, c_plain)
 
 
