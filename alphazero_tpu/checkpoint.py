@@ -50,11 +50,47 @@ def save_checkpoint(
     return path
 
 
+def read_sidecar(directory: str, step: int) -> Optional[dict]:
+    """The JSON sidecar for ``step``, or None. Cheap (no Orbax): used to
+    decide the restore plan (``has_rings``) before any array reads."""
+    path = _ckpt_path(directory, step) + ".json"
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def newest_ring_step(directory: str) -> Optional[int]:
+    """Newest checkpoint whose sidecar does not mark it LIGHT
+    (``has_rings: false``). Checkpoints written before the
+    ``replay_save_stride`` feature carry no flag and count as
+    ring-bearing (they always saved the rings)."""
+    if not os.path.isdir(directory):
+        return None
+    steps = sorted(
+        (
+            int(m.group(1))
+            for name in os.listdir(directory)
+            if (m := _CKPT_RE.match(name))
+        ),
+        reverse=True,
+    )
+    for step in steps:
+        sidecar = read_sidecar(directory, step)
+        if sidecar is None or sidecar.get("has_rings", True):
+            return step
+    return None
+
+
 def prune_checkpoints(directory: str, keep: int) -> list:
     """Delete all but the newest ``keep`` checkpoints (and their JSON
     sidecars). Returns the pruned step numbers. Call from process 0 only
     in multi-controller runs — and only after the save is finished
-    (``save_checkpoint`` blocks on wait_until_finished)."""
+    (``save_checkpoint`` blocks on wait_until_finished).
+
+    The newest RING-BEARING checkpoint is never pruned, even when older
+    than the retention window: with ``replay_save_stride > 1`` it is the
+    only durable copy of the replay/reanalyze rings that resume needs."""
     import shutil
 
     if not os.path.isdir(directory) or keep < 1:
@@ -64,7 +100,8 @@ def prune_checkpoints(directory: str, keep: int) -> list:
         for name in os.listdir(directory)
         if (m := _CKPT_RE.match(name))
     )
-    pruned = steps[:-keep]
+    protect = newest_ring_step(directory)
+    pruned = [s for s in steps[:-keep] if s != protect]
     for step in pruned:
         path = _ckpt_path(directory, step)
         shutil.rmtree(path, ignore_errors=True)

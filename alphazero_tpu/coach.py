@@ -332,7 +332,12 @@ class Coach:
             self._maybe_resume()
 
     # ------------------------------------------------------------------
-    def _payload(self):
+    def _payload(self, rings: bool = True):
+        """Checkpoint pytree. ``rings=False`` builds the LIGHT payload
+        (``replay_save_stride``): params/opt/rng/pool only — the replay
+        and reanalyze rings dominate checkpoint bytes (hundreds of MB at
+        production capacity vs MBs for everything else) and are the only
+        regenerable state."""
         rng_data = jax.random.key_data(self.rng)
         if self.mesh is not None:
             # the key evolves host-side (identical on every controller);
@@ -342,12 +347,13 @@ class Coach:
             rng_data = replicate_host_value(rng_data, self.mesh)
         payload = {
             "incumbent": self.incumbent._asdict(),
-            "replay": self.replay._asdict(),
             "rng": rng_data,
         }
-        if self.positions is not None:
-            # the reanalyze position ring resumes exactly with the run
-            payload["positions"] = self.positions._asdict()
+        if rings:
+            payload["replay"] = self.replay._asdict()
+            if self.positions is not None:
+                # the reanalyze position ring resumes exactly with the run
+                payload["positions"] = self.positions._asdict()
         if self._pool_ckpt:
             payload["pool"] = self._pool_payload()
         return payload
@@ -385,6 +391,60 @@ class Coach:
         if step is None:
             return
         template = self._payload()
+        from alphazero_tpu.checkpoint import newest_ring_step, read_sidecar
+
+        pre = read_sidecar(self.cfg.checkpoint_dir, step)
+        if pre is not None and not pre.get("has_rings", True):
+            # LIGHT checkpoint (replay_save_stride): restore everything
+            # but the rings from the newest step, then the replay/
+            # reanalyze rings from the newest ring-bearing step — at most
+            # (stride-1)*interval iterations of replay regenerate.
+            import logging
+
+            light_t = {
+                k: v
+                for k, v in template.items()
+                if k not in ("replay", "positions")
+            }
+            payload, sidecar = restore_checkpoint(
+                self.cfg.checkpoint_dir, step, light_t
+            )
+            ring_step = newest_ring_step(self.cfg.checkpoint_dir)
+            if ring_step is not None:
+                rings_t = {
+                    k: template[k]
+                    for k in ("replay", "positions")
+                    if k in template
+                }
+                try:
+                    rings, _ = restore_checkpoint(
+                        self.cfg.checkpoint_dir, ring_step, rings_t, partial=True
+                    )
+                except Exception:
+                    # ring checkpoint may predate the reanalyze ring (or a
+                    # field inside it) — take the replay alone
+                    rings, _ = restore_checkpoint(
+                        self.cfg.checkpoint_dir,
+                        ring_step,
+                        {"replay": template["replay"]},
+                        partial=True,
+                    )
+                payload.update(rings)
+                logging.getLogger(__name__).warning(
+                    "light checkpoint %d: replay/reanalyze rings restored "
+                    "from ring-bearing checkpoint %d (%d iterations older)",
+                    step,
+                    ring_step,
+                    step - ring_step,
+                )
+            else:
+                logging.getLogger(__name__).warning(
+                    "light checkpoint %d with no ring-bearing checkpoint "
+                    "on disk — resuming with empty rings (they repopulate)",
+                    step,
+                )
+            self._finish_resume(payload, sidecar, step)
+            return
         try:
             payload, sidecar = restore_checkpoint(
                 self.cfg.checkpoint_dir, step, template
@@ -422,10 +482,16 @@ class Coach:
                 "with them empty (they repopulate as the run proceeds)",
                 list(dropped),
             )
-        self.incumbent = TrainState(**payload["incumbent"])
-        from alphazero_tpu.replay import ReplayState
+        self._finish_resume(payload, sidecar, step)
 
-        self.replay = ReplayState(**payload["replay"])
+    def _finish_resume(self, payload, sidecar, step) -> None:
+        """Install a restored checkpoint payload + sidecar (shared by the
+        exact and the light/ring-split resume plans)."""
+        self.incumbent = TrainState(**payload["incumbent"])
+        if "replay" in payload:
+            from alphazero_tpu.replay import ReplayState
+
+            self.replay = ReplayState(**payload["replay"])
         if "positions" in payload:
             from alphazero_tpu.reanalyze import PositionStore
 
@@ -484,16 +550,19 @@ class Coach:
             os.path.join(self.cfg.checkpoint_dir, f"{self.iteration}.examples")
         )
 
-    def save(self) -> None:
+    def save(self, rings: bool = True) -> None:
         if not self.cfg.checkpoint_dir:
             return
         save_checkpoint(
             self.cfg.checkpoint_dir,
             self.iteration,
-            self._payload(),
+            self._payload(rings=rings),
             sidecar={
                 "iteration": self.iteration,
                 "model_id": self.model_id,
+                # light checkpoints (replay_save_stride) omit the replay/
+                # reanalyze rings; resume reads this flag to pick its plan
+                "has_rings": rings,
                 "elo_history": self.elo.history,
                 "elo_ratings": self.elo.ratings,
                 # anchored-rating match graph persists across restarts
@@ -502,6 +571,7 @@ class Coach:
                 "pool_matches": self.pool_matches,
             },
         )
+        self._last_save_rings = rings
         if self.cfg.keep_checkpoints and jax.process_index() == 0:
             from alphazero_tpu.checkpoint import prune_checkpoints
 
@@ -635,8 +705,14 @@ class Coach:
             **{f"t_{k}": round(v, 3) for k, v in phases.items()},
         }
         self.metrics.log(record)
-        if self.iteration % max(self.cfg.checkpoint_interval, 1) == 0:
-            self.save()
+        interval = max(self.cfg.checkpoint_interval, 1)
+        if self.iteration % interval == 0:
+            # with replay_save_stride=k, only every k-th periodic save
+            # carries the rings (phased so the FIRST periodic save does —
+            # an early preemption still resumes with its replay)
+            stride = max(self.cfg.replay_save_stride, 1)
+            idx = self.iteration // interval
+            self.save(rings=(idx % stride) == (1 % stride))
         return record
 
     def _anchored_rating_pass(self):
@@ -772,8 +848,14 @@ class Coach:
                             self.iteration,
                         )
                     break
-            if records and self.iteration % max(self.cfg.checkpoint_interval, 1) != 0:
-                self.save()  # the run's final state is always durable
+            if records and (
+                self.iteration % max(self.cfg.checkpoint_interval, 1) != 0
+                or not getattr(self, "_last_save_rings", True)
+            ):
+                # the run's final state is always durable WITH the rings —
+                # covers both the off-interval case and a last periodic
+                # save that was light (replay_save_stride)
+                self.save(rings=True)
         finally:
             if in_main:
                 # signal.signal returns None for handlers installed at the

@@ -266,6 +266,19 @@ class AZConfig:
     #                              checkpoint bytes; large runs set k>1).
     #                              learn() always saves after its last
     #                              iteration regardless.
+    replay_save_stride: int = 1  # 1 = every save carries the replay +
+    #                              reanalyze rings (exact resume). k>1 =
+    #                              only every k-th periodic save does; the
+    #                              rest are LIGHT (params/opt/rng/pool +
+    #                              sidecar — MBs instead of the rings'
+    #                              hundreds). Resume restores the rings
+    #                              from the newest ring-bearing checkpoint
+    #                              and everything else from the newest
+    #                              checkpoint, so at most (k-1)*interval
+    #                              iterations of replay regenerate. The
+    #                              final/preemption save always carries
+    #                              the rings; retention never prunes the
+    #                              newest ring-bearing checkpoint.
     keep_checkpoints: Optional[int] = None  # retention: after every save,
     #                              delete all but the newest k checkpoints
     #                              (sidecars included). None keeps

@@ -47,6 +47,16 @@ def main():
         "iteration by re-searching them with the current net "
         "(reanalyze.py; value targets stay the game outcome)",
     )
+    ap.add_argument(
+        "--replay-stride",
+        type=int,
+        default=None,
+        metavar="K",
+        help="carry the replay/reanalyze rings in only every K-th "
+        "periodic checkpoint; the rest are light (MBs, not hundreds) — "
+        "resume regenerates at most (K-1)*interval iterations of replay "
+        "(config.replay_save_stride)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -178,6 +188,11 @@ def main():
             seed=args.seed,
             checkpoint_dir=args.checkpoint_dir,
         )
+
+    if args.replay_stride is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, replay_save_stride=args.replay_stride)
 
     if args.gumbel is not None:
         import dataclasses

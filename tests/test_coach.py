@@ -569,3 +569,82 @@ def test_partial_restore_params_only(tmp_path):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_replay_stride_light_resume(tmp_path):
+    """replay_save_stride=k: intermediate periodic checkpoints are LIGHT
+    (no replay/reanalyze rings, a fraction of the bytes); resume takes
+    params/counters from the newest checkpoint and the rings from the
+    newest ring-bearing one."""
+    import dataclasses
+    import json
+
+    cfg = dataclasses.replace(tiny_cfg(tmp_path, seed=6), replay_save_stride=2)
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    coach.run_iteration()  # periodic save 1: ring-bearing (phase rule)
+    replay_after_1 = replay_total(coach.replay)
+    coach.run_iteration()  # periodic save 2: light
+    assert json.load(open(tmp_path / "ckpt_000001.json"))["has_rings"] is True
+    assert json.load(open(tmp_path / "ckpt_000002.json"))["has_rings"] is False
+    # the light checkpoint really omits the ring subtree (byte size is
+    # not a reliable probe: Orbax compresses the mostly-zero ring away)
+    meta1 = (tmp_path / "ckpt_000001" / "_METADATA").read_text()
+    meta2 = (tmp_path / "ckpt_000002" / "_METADATA").read_text()
+    assert "replay" in meta1
+    assert "replay" not in meta2
+    params_after_2 = jax.tree_util.tree_leaves(coach.incumbent.params)
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    assert resumed.iteration == 2
+    assert resumed.model_id == coach.model_id
+    for a, b in zip(
+        params_after_2, jax.tree_util.tree_leaves(resumed.incumbent.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the rings came from step 1 — one iteration of replay regenerates
+    assert replay_total(resumed.replay) == replay_after_1
+    rec = resumed.run_iteration()
+    assert rec["iteration"] == 3
+
+
+def test_replay_stride_final_save_carries_rings(tmp_path):
+    """learn() upgrades a light last periodic save to ring-bearing so the
+    run's final state is always fully durable; resume is then exact."""
+    import dataclasses
+    import json
+
+    cfg = dataclasses.replace(tiny_cfg(tmp_path, seed=7), replay_save_stride=2)
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    coach.learn(2)  # save 1 rings, save 2 light, final re-save 2 w/ rings
+    assert json.load(open(tmp_path / "ckpt_000002.json"))["has_rings"] is True
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    assert resumed.iteration == 2
+    assert replay_total(resumed.replay) == replay_total(coach.replay)
+
+
+def test_replay_stride_retention_protects_ring(tmp_path):
+    """Retention never prunes the newest ring-bearing checkpoint — with a
+    stride it can be the only durable copy of the replay ring."""
+    import dataclasses
+    import os
+
+    cfg = dataclasses.replace(
+        tiny_cfg(tmp_path, seed=8), replay_save_stride=3, keep_checkpoints=1
+    )
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    coach.run_iteration()  # save 1: rings
+    replay_after_1 = replay_total(coach.replay)
+    coach.run_iteration()  # save 2: light (pruned by keep=1)
+    coach.run_iteration()  # save 3: light (kept as newest)
+    names = {n for n in os.listdir(tmp_path) if n.startswith("ckpt_")}
+    assert "ckpt_000001" in names  # protected ring-bearing step
+    assert "ckpt_000002" not in names
+    assert "ckpt_000003" in names
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    assert resumed.iteration == 3
+    assert replay_total(resumed.replay) == replay_after_1
