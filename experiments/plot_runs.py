@@ -85,8 +85,8 @@ def flagship():
              "resnet_economy_preset_50iter_gumbel32_s1_tpu_v5e.jsonl"),
             ("economy seed 2",
              "resnet_economy_preset_50iter_gumbel32_s2_tpu_v5e.jsonl"),
-            ("full seed 1 (first 50)",
-             "resnet_full_preset_50iter_s1_tpu_v5e.jsonl")],
+            ("full seed 1",
+             "resnet_full_preset_100iter_s1_tpu_v5e.jsonl")],
     }
     # overlay seeds share their arm's color at reduced opacity
     overlay_style = {
