@@ -37,16 +37,27 @@ def save_checkpoint(
     """Save a pytree payload as checkpoint ``step`` (+ JSON sidecar).
 
     Multi-controller: every process calls this (Orbax coordinates the
-    distributed array save); the JSON sidecar is written by process 0."""
+    distributed array save); the JSON sidecar is written by process 0.
+
+    Ordering invariant: the sidecar is written BEFORE the Orbax save.
+    Orbax finalizes atomically (tmp dir + rename), so a crash anywhere
+    in this function leaves either (a) a dangling ``.json`` with no
+    ``ckpt_*`` dir — invisible to ``latest_step``/``newest_ring_step``,
+    which key off the dirs — or (b) a complete pair. The reverse order
+    had a window where a LIGHT (``has_rings: false``) checkpoint existed
+    without its sidecar and resume misclassified it as ring-bearing
+    (round-4 ADVICE). ``Coach._maybe_resume`` additionally falls back to
+    the light/ring-split plan if an exact restore fails, covering
+    same-step resaves that flip lightness."""
     if jax.process_index() == 0:
         os.makedirs(directory, exist_ok=True)
     path = _ckpt_path(directory, step)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
     if sidecar is not None and jax.process_index() == 0:
         with open(path + ".json", "w") as f:
             json.dump(sidecar, f)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
     return path
 
 
@@ -60,11 +71,16 @@ def read_sidecar(directory: str, step: int) -> Optional[dict]:
         return json.load(f)
 
 
-def newest_ring_step(directory: str) -> Optional[int]:
+def newest_ring_step(
+    directory: str, exclude: Optional[int] = None
+) -> Optional[int]:
     """Newest checkpoint whose sidecar does not mark it LIGHT
     (``has_rings: false``). Checkpoints written before the
     ``replay_save_stride`` feature carry no flag and count as
-    ring-bearing (they always saved the rings)."""
+    ring-bearing (they always saved the rings). ``exclude`` skips one
+    step whose classification is known-unreliable (a checkpoint whose
+    exact restore just failed — its sidecar may be missing or describe
+    a different same-step save)."""
     if not os.path.isdir(directory):
         return None
     steps = sorted(
@@ -76,6 +92,8 @@ def newest_ring_step(directory: str) -> Optional[int]:
         reverse=True,
     )
     for step in steps:
+        if step == exclude:
+            continue
         sidecar = read_sidecar(directory, step)
         if sidecar is None or sidecar.get("has_rings", True):
             return step

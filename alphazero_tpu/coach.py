@@ -386,75 +386,17 @@ class Coach:
             )
         return out
 
-    def _maybe_resume(self) -> None:
-        step = latest_step(self.cfg.checkpoint_dir)
-        if step is None:
-            return
-        template = self._payload()
-        from alphazero_tpu.checkpoint import newest_ring_step, read_sidecar
-
-        pre = read_sidecar(self.cfg.checkpoint_dir, step)
-        if pre is not None and not pre.get("has_rings", True):
-            # LIGHT checkpoint (replay_save_stride): restore everything
-            # but the rings from the newest step, then the replay/
-            # reanalyze rings from the newest ring-bearing step — at most
-            # (stride-1)*interval iterations of replay regenerate.
-            import logging
-
-            light_t = {
-                k: v
-                for k, v in template.items()
-                if k not in ("replay", "positions")
-            }
-            payload, sidecar = restore_checkpoint(
-                self.cfg.checkpoint_dir, step, light_t
-            )
-            ring_step = newest_ring_step(self.cfg.checkpoint_dir)
-            if ring_step is not None:
-                rings_t = {
-                    k: template[k]
-                    for k in ("replay", "positions")
-                    if k in template
-                }
-                try:
-                    rings, _ = restore_checkpoint(
-                        self.cfg.checkpoint_dir, ring_step, rings_t, partial=True
-                    )
-                except Exception:
-                    # ring checkpoint may predate the reanalyze ring (or a
-                    # field inside it) — take the replay alone
-                    rings, _ = restore_checkpoint(
-                        self.cfg.checkpoint_dir,
-                        ring_step,
-                        {"replay": template["replay"]},
-                        partial=True,
-                    )
-                payload.update(rings)
-                logging.getLogger(__name__).warning(
-                    "light checkpoint %d: replay/reanalyze rings restored "
-                    "from ring-bearing checkpoint %d (%d iterations older)",
-                    step,
-                    ring_step,
-                    step - ring_step,
-                )
-            else:
-                logging.getLogger(__name__).warning(
-                    "light checkpoint %d with no ring-bearing checkpoint "
-                    "on disk — resuming with empty rings (they repopulate)",
-                    step,
-                )
-            self._finish_resume(payload, sidecar, step)
-            return
+    def _restore_dropping_optional(self, step, template):
+        """restore_checkpoint with the optional-subtree fallback: if the
+        exact-template restore fails (checkpoint predates the reanalyze
+        position ring / anchored-pool snapshots, or a field inside one,
+        or the stacked pool template's shape changed with
+        arena.pool_size), drop the SMALLEST set of optional subtrees
+        that restores, keep the rest, and start the dropped ones empty.
+        Shared by the exact and light resume plans."""
         try:
-            payload, sidecar = restore_checkpoint(
-                self.cfg.checkpoint_dir, step, template
-            )
+            return restore_checkpoint(self.cfg.checkpoint_dir, step, template)
         except Exception:
-            # checkpoint may predate an optional subtree (the reanalyze
-            # position ring / the anchored-pool snapshots) or an added
-            # field inside one (e.g. the position ring's `born` stamps):
-            # drop the SMALLEST set of optional subtrees that restores,
-            # keep the rest, and start the dropped ones empty
             import itertools
             import logging
 
@@ -482,6 +424,88 @@ class Coach:
                 "with them empty (they repopulate as the run proceeds)",
                 list(dropped),
             )
+            return payload, sidecar
+
+    def _resume_light(self, step, template, exclude_ring=None) -> None:
+        """The light/ring-split resume plan (replay_save_stride): restore
+        everything but the rings from ``step``, then the replay/reanalyze
+        rings from the newest ring-bearing step — at most
+        (stride-1)*interval iterations of replay regenerate.
+        ``exclude_ring`` skips a step whose lightness classification is
+        unreliable (used when the exact plan just failed on it)."""
+        import logging
+
+        from alphazero_tpu.checkpoint import newest_ring_step
+
+        light_t = {
+            k: v for k, v in template.items() if k not in ("replay", "positions")
+        }
+        payload, sidecar = self._restore_dropping_optional(step, light_t)
+        ring_step = newest_ring_step(self.cfg.checkpoint_dir, exclude=exclude_ring)
+        if ring_step is not None:
+            rings_t = {
+                k: template[k] for k in ("replay", "positions") if k in template
+            }
+            try:
+                rings, _ = restore_checkpoint(
+                    self.cfg.checkpoint_dir, ring_step, rings_t, partial=True
+                )
+            except Exception:
+                # ring checkpoint may predate the reanalyze ring (or a
+                # field inside it) — take the replay alone
+                rings, _ = restore_checkpoint(
+                    self.cfg.checkpoint_dir,
+                    ring_step,
+                    {"replay": template["replay"]},
+                    partial=True,
+                )
+            payload.update(rings)
+            logging.getLogger(__name__).warning(
+                "light checkpoint %d: replay/reanalyze rings restored "
+                "from ring-bearing checkpoint %d (%d iterations older)",
+                step,
+                ring_step,
+                step - ring_step,
+            )
+        else:
+            logging.getLogger(__name__).warning(
+                "light checkpoint %d with no ring-bearing checkpoint "
+                "on disk — resuming with empty rings (they repopulate)",
+                step,
+            )
+        self._finish_resume(payload, sidecar, step)
+
+    def _maybe_resume(self) -> None:
+        step = latest_step(self.cfg.checkpoint_dir)
+        if step is None:
+            return
+        template = self._payload()
+        from alphazero_tpu.checkpoint import read_sidecar
+
+        pre = read_sidecar(self.cfg.checkpoint_dir, step)
+        if pre is not None and not pre.get("has_rings", True):
+            self._resume_light(step, template)
+            return
+        try:
+            payload, sidecar = self._restore_dropping_optional(step, template)
+        except Exception:
+            # The step may be a LIGHT checkpoint whose sidecar is missing
+            # or describes a different same-step save (a crash inside the
+            # save window) — the full template then fails on the absent
+            # replay ring. Last resort: the light/ring-split plan, with
+            # this step excluded from ring candidates since its
+            # classification just proved unreliable. If that fails too,
+            # the chained traceback carries the original error.
+            import logging
+
+            self._resume_light(step, template, exclude_ring=step)
+            logging.getLogger(__name__).warning(
+                "checkpoint %d failed the exact restore but resumed via "
+                "the light/ring-split plan (sidecar missing or "
+                "misclassified lightness)",
+                step,
+            )
+            return
         self._finish_resume(payload, sidecar, step)
 
     def _finish_resume(self, payload, sidecar, step) -> None:

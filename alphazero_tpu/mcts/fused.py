@@ -725,7 +725,14 @@ def make_fused_root_fn(
         actor mix, but −3% at the full preset's B=2048 where the NN
         forward dominates and only 8 blocks exist — the gather/argsort
         overhead outweighs the blocking win below ~8k games. Default
-        AZ_SORT_MIN_BATCH=8192; AZ_FUSED_NOSORT disables outright."""
+        AZ_SORT_MIN_BATCH=8192; AZ_FUSED_NOSORT disables outright.
+
+        Under shard_map this compares the PER-SHARD batch (global /
+        data-axis size) — deliberately: the block economics the A/B
+        measured live per device (each device sorts and blocks only its
+        own games), so a global batch of 32768 over 8 chips is 4096
+        games/device = 16 blocks/device, below the measured crossover.
+        The knob therefore means games-per-device everywhere."""
         min_b = int(os.environ.get("AZ_SORT_MIN_BATCH", "8192"))
         if boards.shape[0] < min_b or os.environ.get("AZ_FUSED_NOSORT"):
             return run_kernel(boards, priors, weights)

@@ -939,7 +939,9 @@ def make_hybrid_root_fn(
         tests/test_hybrid.py. Threshold rationale in fused.py
         ``run_kernel_sorted``: sorting wins +17% at B=65536 but costs
         ~3% at the NN-bound full preset's B=2048 (round-4 A/B), so it
-        engages only at AZ_SORT_MIN_BATCH (default 8192) games."""
+        engages only at AZ_SORT_MIN_BATCH (default 8192) games — a
+        PER-SHARD count under shard_map, on purpose: the block
+        economics are per device (see fused.py for the arithmetic)."""
         min_b = int(os.environ.get("AZ_SORT_MIN_BATCH", "8192"))
         if boards.shape[0] < min_b or os.environ.get("AZ_FUSED_NOSORT"):
             return run_search(boards, p_masked, params)

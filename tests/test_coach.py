@@ -648,3 +648,64 @@ def test_replay_stride_retention_protects_ring(tmp_path):
     resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
     assert resumed.iteration == 3
     assert replay_total(resumed.replay) == replay_after_1
+
+
+def test_light_resume_survives_missing_sidecar(tmp_path):
+    """Round-4 ADVICE (medium): a LIGHT checkpoint whose JSON sidecar is
+    lost (historically possible via a crash between the Orbax save and
+    the sidecar write; save_checkpoint now writes sidecar-first, but a
+    same-step resave can still flip lightness) must not brick resume.
+    With no sidecar the exact plan is attempted, fails on the absent
+    replay subtree, and _maybe_resume falls back to the light/ring-split
+    plan with the unreliable step excluded from ring candidates."""
+    import dataclasses
+    import os
+
+    cfg = dataclasses.replace(tiny_cfg(tmp_path, seed=11), replay_save_stride=2)
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    coach.run_iteration()  # save 1: ring-bearing
+    replay_after_1 = replay_total(coach.replay)
+    coach.run_iteration()  # save 2: light
+    params_after_2 = jax.tree_util.tree_leaves(coach.incumbent.params)
+    os.remove(tmp_path / "ckpt_000002.json")  # the crash window
+
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    # params/counters from the light step 2; without its sidecar the
+    # iteration counter falls back to the step number
+    assert resumed.iteration == 2
+    for a, b in zip(
+        params_after_2, jax.tree_util.tree_leaves(resumed.incumbent.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # rings from step 1 (step 2 excluded as a ring candidate)
+    assert replay_total(resumed.replay) == replay_after_1
+    rec = resumed.run_iteration()
+    assert rec["iteration"] == 3
+
+
+def test_light_resume_drops_mismatched_pool(tmp_path):
+    """Round-4 ADVICE (low): the light restore shares the exact path's
+    optional-subtree fallback — a pool template whose stacked shape
+    changed (arena.pool_size edited between save and resume) drops the
+    pool instead of crashing."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(tmp_path, seed=12), replay_save_stride=2)
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    coach.run_iteration()  # ring-bearing
+    coach.run_iteration()  # light
+    params_after_2 = jax.tree_util.tree_leaves(coach.incumbent.params)
+
+    cfg2 = dataclasses.replace(
+        cfg, arena=dataclasses.replace(cfg.arena, pool_size=cfg.arena.pool_size + 3)
+    )
+    resumed = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg2)
+    assert resumed.iteration == 2
+    for a, b in zip(
+        params_after_2, jax.tree_util.tree_leaves(resumed.incumbent.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rec = resumed.run_iteration()
+    assert rec["iteration"] == 3
