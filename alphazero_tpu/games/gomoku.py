@@ -1,12 +1,20 @@
-"""Gomoku (free-style five-in-a-row) 9x9 as pure-JAX batched dynamics.
+"""Gomoku (free-style five-in-a-row) as pure-JAX batched dynamics.
 
 Third ``Game`` implementation — beyond the reference's scope (its only
 game is Connect-Four, reference: examples/connect_four_lib/
 connect_four_game.rs; the trait it fills is src/game.rs:8-28). Gomoku
-exercises a corner neither other game does: a LARGE action space (81)
-with free placement and a zero depth-cutoff heuristic — the combination
+exercises a corner neither other game does: a LARGE action space with
+free placement and a zero depth-cutoff heuristic — the combination
 that routes self-play through the hybrid engine's dense-refresh path
 (mcts/hybrid.py) with none of Othello's flip machinery.
+
+The board edge is a constructor parameter: ``Gomoku()`` is the 9x9
+edition the round-1..4 goldens pin; ``Gomoku(15)`` is the production
+15x15 game (A=225) — the scale test for the engines' dense-plane bet
+(the [B, 4, A, C] stat planes and tree-wide score passes are O(A*C)
+per simulation; docs/ENGINES.md carries the measured A=49→81→225
+scaling). All editions share the same dynamics code; only the shapes
+change.
 
 Rules: players alternate placing stones on empty cells; five or more in
 a row (horizontally, vertically or diagonally) wins; a full board with
@@ -21,45 +29,54 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-SIZE = 9
+SIZE = 9  # default edition (the round-1..4 golden boards)
 WIN = 5
 
 
 class GomokuState(NamedTuple):
     """Canonical board: +1 = player to move, -1 = opponent."""
 
-    board: jax.Array  # int8[SIZE, SIZE]
+    board: jax.Array  # int8[size, size]
 
 
-def _has_win(board: jax.Array, player: int) -> jax.Array:
-    """True iff ``player`` has WIN in a row (any of 4 directions;
+def _has_win(board: jax.Array, player: int, size: int, win: int) -> jax.Array:
+    """True iff ``player`` has ``win`` in a row (any of 4 directions;
     inclusive window bounds — same pattern as connect_four._has_win)."""
     p = board == player
-    M = SIZE - WIN + 1
+    M = size - win + 1
     horiz = p[:, :M]
     vert = p[:M, :]
     diag = p[:M, :M]
-    anti = p[WIN - 1 :, :M]
-    for i in range(1, WIN):
+    anti = p[win - 1 :, :M]
+    for i in range(1, win):
         horiz = horiz & p[:, i : M + i]
         vert = vert & p[i : M + i, :]
         diag = diag & p[i : M + i, i : M + i]
-        anti = anti & p[WIN - 1 - i : SIZE - i, i : M + i]
+        anti = anti & p[win - 1 - i : size - i, i : M + i]
     return horiz.any() | vert.any() | diag.any() | anti.any()
 
 
 class Gomoku:
-    """``Game`` protocol implementation (see games/base.py)."""
+    """``Game`` protocol implementation (see games/base.py).
 
-    name = "gomoku"
-    num_actions = SIZE * SIZE
-    feature_shape = (SIZE, SIZE, 2)
-    max_moves = SIZE * SIZE
-    num_symmetries = 8  # dihedral group of the square board
-    heuristic_is_zero = True
+    ``size`` picks the board edition: 9 (default, the small-board
+    edition every golden pins) or any edge >= win (15 = the standard
+    production board). ``win`` stays 5 (free-style gomoku)."""
+
+    def __init__(self, size: int = SIZE, win: int = WIN):
+        if size < win:
+            raise ValueError(f"size={size} smaller than win={win}")
+        self.size = size
+        self.win = win
+        self.name = "gomoku" if size == SIZE else f"gomoku{size}"
+        self.num_actions = size * size
+        self.feature_shape = (size, size, 2)
+        self.max_moves = size * size
+        self.num_symmetries = 8  # dihedral group of the square board
+        self.heuristic_is_zero = True
 
     def init(self) -> GomokuState:
-        return GomokuState(board=jnp.zeros((SIZE, SIZE), jnp.int8))
+        return GomokuState(board=jnp.zeros((self.size, self.size), jnp.int8))
 
     def step(self, state: GomokuState, action: jax.Array) -> GomokuState:
         """Place a +1 stone at ``action`` (row-major cell); return the
@@ -68,8 +85,9 @@ class Gomoku:
 
         Dense one-hot write — per-game dynamic scatters miscompile on the
         TPU backend under vmap at large batch (see ConnectFour.step)."""
-        r, c = action // SIZE, action % SIZE
-        hit = (jnp.arange(SIZE)[:, None] == r) & (jnp.arange(SIZE)[None, :] == c)
+        S = self.size
+        r, c = action // S, action % S
+        hit = (jnp.arange(S)[:, None] == r) & (jnp.arange(S)[None, :] == c)
         board = jnp.where(hit, jnp.int8(1), state.board)
         return GomokuState(board=(-board).astype(jnp.int8))
 
@@ -79,8 +97,8 @@ class Gomoku:
     def terminal(self, state: GomokuState) -> Tuple[jax.Array, jax.Array]:
         """From the player-to-move's perspective: the previous mover owns
         the -1 stones, so a -1 five means value -1. Draws exact 0."""
-        lose = _has_win(state.board, -1)
-        win = _has_win(state.board, 1)
+        lose = _has_win(state.board, -1, self.size, self.win)
+        win = _has_win(state.board, 1, self.size, self.win)
         full = jnp.all(state.board != 0)
         done = lose | win | full
         value = jnp.where(win, 1.0, jnp.where(lose, -1.0, 0.0))
@@ -97,8 +115,8 @@ class Gomoku:
 
     def symmetries(self, features: jax.Array, pi: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """All 8 board symmetries (rotations x mirror), pi remapped as a
-        SIZE x SIZE grid — the Othello pattern without a pass action."""
-        grid = pi.reshape(SIZE, SIZE)
+        size x size grid — the Othello pattern without a pass action."""
+        grid = pi.reshape(self.size, self.size)
         feats, pis = [], []
         for k in range(4):
             f = jnp.rot90(features, k, axes=(0, 1))
@@ -116,50 +134,55 @@ class Gomoku:
     def flat_ops(self) -> "GomokuFlatOps":
         """Flat-board dynamics for the hybrid search engine
         (mcts/hybrid.py). See ``GomokuFlatOps``."""
-        return GomokuFlatOps()
+        return GomokuFlatOps(self.size, self.win)
 
 
-def _win_line_matrix() -> jnp.ndarray:
-    """f32[81, n_lines] incidence matrix of all five-in-a-row windows
-    (rows 45 + cols 45 + diag 25 + anti 25 = 140);
-    ``(board == player) @ M >= 5`` detects a win as one matmul."""
+def _win_line_matrix(size: int, win: int) -> jnp.ndarray:
+    """f32[size^2, n_lines] incidence matrix of all win-in-a-row windows
+    (9x9: rows 45 + cols 45 + diag 25 + anti 25 = 140; 15x15: 572);
+    ``(board == player) @ M >= win`` detects a win as one matmul."""
     import numpy as np
 
-    M = SIZE - WIN + 1
+    M = size - win + 1
     lines = []
-    for r in range(SIZE):
+    for r in range(size):
         for c in range(M):
-            lines.append([(r, c + i) for i in range(WIN)])
-    for c in range(SIZE):
+            lines.append([(r, c + i) for i in range(win)])
+    for c in range(size):
         for r in range(M):
-            lines.append([(r + i, c) for i in range(WIN)])
+            lines.append([(r + i, c) for i in range(win)])
     for r in range(M):
         for c in range(M):
-            lines.append([(r + i, c + i) for i in range(WIN)])
-    for r in range(WIN - 1, SIZE):
+            lines.append([(r + i, c + i) for i in range(win)])
+    for r in range(win - 1, size):
         for c in range(M):
-            lines.append([(r - i, c + i) for i in range(WIN)])
-    m = np.zeros((SIZE * SIZE, len(lines)), np.float32)
+            lines.append([(r - i, c + i) for i in range(win)])
+    m = np.zeros((size * size, len(lines)), np.float32)
     for j, cells in enumerate(lines):
         for r, c in cells:
-            m[r * SIZE + c, j] = 1.0
+            m[r * size + c, j] = 1.0
     return jnp.asarray(m)
 
 
 class GomokuFlatOps:
-    """Gomoku dynamics on FLAT batched boards ``f32[Bb, 81]``.
+    """Gomoku dynamics on FLAT batched boards ``f32[Bb, size^2]``.
 
     ``step`` runs INSIDE the hybrid descend kernel (Mosaic-friendly:
     all-f32, per-game scalars as keepdims ``[Bb, 1]`` columns, no
     gathers); ``valid``/``terminal``/``to_features`` run in the engine's
     XLA stage. Semantics match ``Gomoku`` exactly (asserted in tests)."""
 
-    size = SIZE * SIZE
-    num_actions = SIZE * SIZE
-    aux_lanes = 256  # 140 win lines, zero-padded (padding sums 0 < WIN)
+    def __init__(self, size: int = SIZE, win: int = WIN):
+        self.board_size = size
+        self.win = win
+        self.size = size * size
+        self.num_actions = size * size
+        n_lines = 2 * size * (size - win + 1) + 2 * (size - win + 1) ** 2
+        # zero-padded to a lane multiple (padding sums 0 < win)
+        self.aux_lanes = -(-n_lines // 128) * 128
 
     def aux(self) -> jax.Array:
-        m = _win_line_matrix()
+        m = _win_line_matrix(self.board_size, self.win)
         return jnp.pad(m, ((0, 0), (0, self.aux_lanes - m.shape[1])))
 
     def from_state(self, state: GomokuState) -> jax.Array:
@@ -180,7 +203,8 @@ class GomokuFlatOps:
         return board == 0
 
     def to_features(self, board: jax.Array) -> jax.Array:
-        b = board.reshape(board.shape[0], SIZE, SIZE)
+        S = self.board_size
+        b = board.reshape(board.shape[0], S, S)
         return jnp.stack(
             [(b == 1).astype(jnp.float32), (b == -1).astype(jnp.float32)],
             axis=-1,
@@ -197,8 +221,8 @@ class GomokuFlatOps:
             (board == -1).astype(jnp.float32), aux,
             preferred_element_type=jnp.float32,
         )
-        win = jnp.any(pos >= WIN - 0.5, axis=1, keepdims=True)
-        lose = jnp.any(neg >= WIN - 0.5, axis=1, keepdims=True)
+        win = jnp.any(pos >= self.win - 0.5, axis=1, keepdims=True)
+        lose = jnp.any(neg >= self.win - 0.5, axis=1, keepdims=True)
         full = jnp.all(board != 0, axis=1, keepdims=True)
         done = win | lose | full
         value = jnp.where(win, 1.0, jnp.where(lose, -1.0, 0.0))

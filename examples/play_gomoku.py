@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--human-first", action="store_true")
+    ap.add_argument(
+        "--size", type=int, default=9, help="board edge (9 default, 15 standard)"
+    )
     args = ap.parse_args()
 
     import jax
@@ -45,7 +48,7 @@ def main():
     from alphazero_tpu.games import Gomoku
     from alphazero_tpu.mcts import make_search_fn
 
-    game = Gomoku()
+    game = Gomoku(args.size)
     apply_fn, params, label = load_side(
         game, args.checkpoint_dir, args.model, args.hidden, 64, 5,
         allow_missing=True,
@@ -79,14 +82,14 @@ def main():
                 try:
                     raw = input("your move (row col): ").strip()
                     r, c = map(int, raw.split())
-                    a = r * 9 + c
+                    a = r * game.size + c
                 except EOFError:
                     print("\nbye")
                     return
                 except ValueError:
-                    print("enter `row col` (0-8)")
+                    print(f"enter `row col` (0-{game.size - 1})")
                     continue
-                if 0 <= a < 81 and valid[a]:
+                if 0 <= a < game.num_actions and valid[a]:
                     break
                 print("illegal move")
         else:
@@ -96,7 +99,7 @@ def main():
             a = int(np.argmax(counts))
             q = float(np.asarray(tree.root_q())[0, a])
             print(
-                f"engine plays {a // 9} {a % 9} "
+                f"engine plays {a // game.size} {a % game.size} "
                 f"(visits {int(counts[a])}, Q={q:+.2f})"
             )
         import jax.numpy as jnp

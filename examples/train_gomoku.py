@@ -31,6 +31,21 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--size",
+        type=int,
+        default=9,
+        help="board edge: 9 (small edition, default) or 15 (the standard "
+        "production board, A=225)",
+    )
+    ap.add_argument(
+        "--replay-stride",
+        type=int,
+        default=1,
+        metavar="K",
+        help="carry the replay/reanalyze rings only in every K-th periodic "
+        "checkpoint (intermediate saves are light)",
+    )
+    ap.add_argument(
         "--gumbel",
         type=int,
         default=None,
@@ -67,7 +82,7 @@ def main():
     from alphazero_tpu.games import Gomoku
     from alphazero_tpu.models import AZResNet, MLPNet
 
-    game = Gomoku()
+    game = Gomoku(args.size)
 
     if args.preset == "smoke":
         model = MLPNet(num_actions=game.num_actions, hidden=(64,))
@@ -143,6 +158,11 @@ def main():
                 capacity=cfg.replay.capacity // max(game.num_symmetries, 1),
             ),
         )
+
+    if args.replay_stride != 1:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, replay_save_stride=args.replay_stride)
 
     coach = Coach(game, model, cfg)
     n = args.iterations if args.iterations is not None else cfg.num_iterations

@@ -239,3 +239,105 @@ def test_selfplay_smoke():
     assert np.asarray(stats.num_moves).min() >= 9  # a win needs >= 9 plies
     v = np.asarray(traj.value)
     assert np.all(np.abs(v) <= 1.0)
+
+
+class TestProductionSize15:
+    """Gomoku(15): the production-board edition (A=225) — the scale test
+    for the dense-plane engine bet (round-4 VERDICT item 1). Dynamics
+    code is shared with the 9x9 edition; these tests pin the shapes and
+    the flat-ops/engine parity at the larger action space."""
+
+    G15 = Gomoku(15)
+
+    def _positions15(self, B, moves, seed):
+        G15 = self.G15
+        rng = np.random.default_rng(seed)
+        state = jax.vmap(lambda _: G15.init())(jnp.arange(B))
+        step_v = jax.jit(jax.vmap(G15.step))
+        for _ in range(moves):
+            vm = np.array(jax.vmap(G15.valid_moves)(state))
+            acts = np.array([rng.choice(np.nonzero(v)[0]) for v in vm])
+            nxt = step_v(state, jnp.asarray(acts))
+            done, _ = jax.vmap(G15.terminal)(nxt)
+            keep = np.array(done)[:, None, None]
+            state = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(keep, o, n), nxt, state
+            )
+        return state
+
+    def test_shapes_and_aux(self):
+        G15 = self.G15
+        assert G15.num_actions == 225
+        assert G15.feature_shape == (15, 15, 2)
+        assert G15.name == "gomoku15"
+        ops = G15.flat_ops()
+        assert ops.size == 225
+        # 2*15*11 + 2*11^2 = 572 win lines, padded to the lane multiple
+        assert ops.aux_lanes == 640
+        m = np.asarray(ops.aux())
+        assert m.shape == (225, 640)
+        assert m.sum() == 572 * 5  # every line covers win=5 cells
+
+    def test_win_requires_five_at_15(self):
+        G15 = self.G15
+        s = G15.init()
+        # winner fills (7, 3..7), loser (0, 0..3) interleaved
+        seq = []
+        for i in range(4):
+            seq += [7 * 15 + 3 + i, i]
+        s2 = s
+        for m in seq:
+            s2 = G15.step(s2, jnp.asarray(m))
+        done, _ = G15.terminal(s2)
+        assert not bool(done)  # four is not enough
+        s3 = G15.step(s2, jnp.asarray(7 * 15 + 7))
+        done, v = G15.terminal(s3)
+        assert bool(done) and float(v) == -1.0
+
+    def test_flat_ops_match_dense_at_15(self):
+        G15 = self.G15
+        ops = G15.flat_ops()
+        aux = ops.aux()
+        state = self._positions15(16, 40, seed=15)
+        boards = ops.from_state(state)
+        done_ref, val_ref = jax.vmap(G15.terminal)(state)
+        done_f, val_f = ops.terminal(boards, aux)
+        np.testing.assert_array_equal(
+            np.asarray(done_ref), np.asarray(done_f)[:, 0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(val_ref), np.asarray(val_f)[:, 0]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(jax.vmap(G15.valid_moves)(state)),
+            np.asarray(ops.valid(boards)),
+        )
+        for a in (0, 112, 224):
+            acts = jnp.full((16,), a, jnp.int32)
+            ref = jax.vmap(G15.step)(state, acts).board
+            flat = ops.step(boards, jnp.full((16, 1), float(a)))
+            np.testing.assert_array_equal(
+                np.asarray(ref).reshape(16, -1),
+                np.asarray(flat).astype(np.int8),
+            )
+
+    def test_hybrid_matches_xla_engine_at_15(self):
+        G15 = self.G15
+        net = make_uniform_model(G15)
+        cfg = MCTSConfig(num_sims=10, max_depth=32)
+        search = make_search_fn(G15, net.apply_fn, cfg)
+        hybrid = make_hybrid_root_fn(G15, net.apply_fn, cfg, block_size=4)
+        assert hybrid is not None
+        state = self._positions15(4, 8, seed=21)
+        np.testing.assert_array_equal(
+            np.asarray(search({}, state).root_counts()),
+            np.asarray(hybrid({}, state)),
+        )
+
+    def test_editions_are_independent(self):
+        """A 9x9 and a 15x15 instance coexist (no shared module state)."""
+        g9, g15 = Gomoku(), self.G15
+        assert g9.num_actions == 81 and g15.num_actions == 225
+        done9, _ = g9.terminal(g9.init())
+        done15, _ = g15.terminal(g15.init())
+        assert not bool(done9) and not bool(done15)
