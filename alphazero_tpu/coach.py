@@ -685,9 +685,9 @@ class Coach:
         anchor = None
         anchored_elo = None
         anchored_se = None
-        if (
-            self._anchor_arena is not None
-            and self.iteration % cfg.arena.anchor_interval == 0
+        if self._anchor_arena is not None and (
+            self.iteration % cfg.arena.anchor_interval == 0
+            or self.iteration <= (cfg.arena.anchor_warmup or 0)
         ):
             anchor, anchored_elo, anchored_se = self._anchored_rating_pass()
 
@@ -754,11 +754,20 @@ class Coach:
         me = self.model_id
         inc_vars = variables_of(self.incumbent)
 
-        (k_anchor,) = self._split(1)
-        with self.timer.phase("anchor"):
-            ar = self._anchor_arena(inc_vars, {}, k_anchor)
-            jax.block_until_ready(ar.cand_wins)
-        aw, al, ad = int(ar.cand_wins), int(ar.inc_wins), int(ar.draws)
+        # warmup iterations repeat the anchor arena (anchor_warmup_mult):
+        # the earliest gen-vs-anchor edge is on every path to the pinned
+        # gauge, so its variance propagates into every rating
+        in_warmup = self.iteration <= (self.cfg.arena.anchor_warmup or 0)
+        reps = max(int(self.cfg.arena.anchor_warmup_mult), 1) if in_warmup else 1
+        aw = al = ad = 0
+        for _ in range(reps):
+            (k_anchor,) = self._split(1)
+            with self.timer.phase("anchor"):
+                ar = self._anchor_arena(inc_vars, {}, k_anchor)
+                jax.block_until_ready(ar.cand_wins)
+            aw += int(ar.cand_wins)
+            al += int(ar.inc_wins)
+            ad += int(ar.draws)
         anchor_wr = aw / max(aw + al, 1)
         self.pool_matches.append(
             {"a": me, "b": "anchor", "wins_a": aw, "wins_b": al, "draws": ad}
@@ -786,6 +795,57 @@ class Coach:
                     "draws": int(pr.draws),
                 }
             )
+
+        n_cross = int(self.cfg.arena.pool_cross_matches or 0)
+        if n_cross > 0 and len(self.pool) >= 2:
+            # Pool-vs-pool cross matches (ArenaConfig.pool_cross_matches):
+            # the star-through-the-incumbent graph leaves the anchor edge
+            # as the only path to the gauge, and at flagship strength that
+            # edge is a blowout with ~zero Fisher information. Densify the
+            # graph where the information is: the pool pair with the
+            # fewest recorded games, ties broken toward the closest fitted
+            # ratings (π(1−π) is maximal near 50%), then lexicographic for
+            # determinism. Uses the same standardized rating arena and the
+            # same rng stream discipline as the incumbent edges.
+            from itertools import combinations
+
+            games_between = {}
+            for m in self.pool_matches:
+                k = frozenset((m["a"], m["b"]))
+                games_between[k] = (
+                    games_between.get(k, 0)
+                    + m["wins_a"] + m["wins_b"] + m["draws"]
+                )
+            rat = self.anchored_ratings
+            pool_by_id = dict(self.pool)
+            cands = sorted(
+                (
+                    (g1, g2)
+                    for (g1, g2) in combinations(sorted(pool_by_id), 2)
+                    if g1 != me and g2 != me
+                ),
+                key=lambda pair: (
+                    games_between.get(frozenset(pair), 0),
+                    abs(rat.get(pair[0], 0.0) - rat.get(pair[1], 0.0)),
+                    pair,
+                ),
+            )
+            for g1, g2 in cands[:n_cross]:
+                (k_c,) = self._split(1)
+                va = jax.device_put(pool_by_id[g1], snap_shardings)
+                vb = jax.device_put(pool_by_id[g2], snap_shardings)
+                with self.timer.phase("anchor"):
+                    cr = self._rating_arena(va, vb, k_c)
+                    jax.block_until_ready(cr.cand_wins)
+                self.pool_matches.append(
+                    {
+                        "a": g1,
+                        "b": g2,
+                        "wins_a": int(cr.cand_wins),
+                        "wins_b": int(cr.inc_wins),
+                        "draws": int(cr.draws),
+                    }
+                )
 
         self.anchored_ratings = fit_elo(self.pool_matches, "anchor", 0.0)
         se = elo_standard_errors(

@@ -201,6 +201,37 @@ class ArenaConfig:
     #                              anchored rating matches (evicted to
     #                              keep generations roughly evenly spaced,
     #                              newest always kept)
+    anchor_warmup: int = 0       # ALSO run the anchored pass at every
+    #                              iteration <= this. The round-4 flagship
+    #                              artifacts show anchor_win_rate = 1.0
+    #                              from the very first pass (iteration 5,
+    #                              empty pool): the whole absolute scale
+    #                              rests forever on one 128-0 swept edge,
+    #                              which both inflates SE (±204-330) and
+    #                              caps the fitted rating through the
+    #                              virtual-draw regularizer. Dense passes
+    #                              across the steep early iterations give
+    #                              the gauge an informative chain
+    #                              (measured + simulated: docs/ROUND5.md).
+    anchor_warmup_mult: int = 1  # during warmup iterations, repeat the
+    #                              anchor arena this many times (the
+    #                              gen-1-vs-anchor edge sits on EVERY path
+    #                              to the gauge — it deserves more games
+    #                              than a pool edge).
+    pool_cross_matches: int = 0  # extra POOL-VS-POOL arenas per anchored
+    #                              pass. The default match graph is a star
+    #                              through each iteration's incumbent, and
+    #                              at flagship strength the incumbent-vs-
+    #                              anchor edge is a blowout carrying ~no
+    #                              Fisher information — SE grew to
+    #                              ±204-330 Elo (round-4 VERDICT item 4).
+    #                              Each cross match picks the pool pair
+    #                              with the fewest recorded games (ties:
+    #                              closest fitted ratings — near-50%
+    #                              matchups carry the most information)
+    #                              and plays a full rating arena between
+    #                              the two snapshots. Opt-in: 0 adds no
+    #                              rng splits (OFF path bit-identical).
     pool_in_checkpoint: bool = False  # persist the pool's parameter
     #                              snapshots inside the whole-state
     #                              checkpoint (zero-padded to pool_size).

@@ -155,6 +155,13 @@ def main():
                 update_threshold=0.55,
                 num_sims=50,
                 anchor_interval=5,
+                # sharper anchored-Elo instrument (round-5): dense early
+                # passes with 4x anchor games while the anchor edge is
+                # still competitive, plus 2 pool-vs-pool cross matches
+                # per pass (the star graph's SE was +-204-330)
+                anchor_warmup=6,
+                anchor_warmup_mult=4,
+                pool_cross_matches=2,
             ),
             num_iterations=50,
             seed=args.seed,
@@ -183,6 +190,9 @@ def main():
                 update_threshold=0.55,
                 num_sims=50,
                 anchor_interval=5,
+                anchor_warmup=6,
+                anchor_warmup_mult=4,
+                pool_cross_matches=2,
             ),
             num_iterations=50,
             seed=args.seed,

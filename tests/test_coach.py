@@ -709,3 +709,108 @@ def test_light_resume_drops_mismatched_pool(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     rec = resumed.run_iteration()
     assert rec["iteration"] == 3
+
+
+def test_pool_cross_matches_densify_graph():
+    """ArenaConfig.pool_cross_matches: the anchored pass plays extra
+    pool-vs-pool arenas (round-4 VERDICT item 3 — the star graph through
+    the incumbent leaves the blowout anchor edge as the only gauge path,
+    inflating SE). Cross edges must appear between two NON-incumbent
+    generations, ride the standardized rating arena, and be absent when
+    the knob is 0 (opt-in rule)."""
+    import dataclasses
+
+    from alphazero_tpu.config import ArenaConfig
+
+    game = ConnectFour()
+
+    def run(cross):
+        model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+        cfg = dataclasses.replace(
+            tiny_cfg(seed=9),
+            arena=ArenaConfig(
+                num_games=4,
+                update_threshold=None,  # continuous mode: every iter snapshots
+                num_sims=4,
+                anchor_interval=1,
+                pool_cross_matches=cross,
+            ),
+        )
+        coach = Coach(game, model, cfg)
+        for _ in range(4):
+            coach.run_iteration()
+        return coach
+
+    base = run(0)
+    star_edges = [
+        m for m in base.pool_matches if m["b"] != "anchor"
+    ]
+    # star graph: every model-model edge touches the then-incumbent (the
+    # larger id of the pair — pool members are older generations)
+    cross_cfgd = run(2)
+    ids = sorted(
+        {m["a"] for m in cross_cfgd.pool_matches}
+        | {m["b"] for m in cross_cfgd.pool_matches if m["b"] != "anchor"}
+    )
+    # an edge is CROSS if neither endpoint was the incumbent of its pass;
+    # detect by counting pairs that repeat with swapped orientation or
+    # that connect two ids both strictly older than the newest at the time.
+    # Simplest robust check: the cross run has strictly more model-model
+    # edges than the star run at identical iteration count, and at least
+    # one edge exists between two ids that BOTH also appear as "a" of an
+    # anchor edge earlier (i.e., both were past incumbents).
+    cross_model_edges = [
+        m for m in cross_cfgd.pool_matches if m["b"] != "anchor"
+    ]
+    assert len(cross_model_edges) > len(star_edges)
+    past_incumbents = {
+        m["a"] for m in cross_cfgd.pool_matches if m["b"] == "anchor"
+    }
+    newest = max(past_incumbents)
+    assert any(
+        m["a"] in past_incumbents
+        and m["b"] in past_incumbents
+        and m["a"] != newest
+        and m["b"] != newest
+        for m in cross_model_edges
+    )
+    # ratings + SE still fit over the densified graph
+    assert base.anchored_ratings["anchor"] == 0.0
+    assert cross_cfgd.anchored_ratings["anchor"] == 0.0
+
+
+def test_anchor_warmup_densifies_early_gauge():
+    """ArenaConfig.anchor_warmup/anchor_warmup_mult: passes also run at
+    every iteration <= warmup, and warmup anchor edges carry mult x the
+    games — the fix for the round-4 flagship pathology where the first
+    pass (empty pool) swept the anchor 128-0 and the entire absolute
+    scale rested on that zero-information edge forever."""
+    import dataclasses
+
+    from alphazero_tpu.config import ArenaConfig
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = dataclasses.replace(
+        tiny_cfg(seed=10),
+        arena=ArenaConfig(
+            num_games=4,
+            update_threshold=None,
+            num_sims=4,
+            anchor_interval=3,
+            anchor_warmup=2,
+            anchor_warmup_mult=2,
+        ),
+    )
+    coach = Coach(game, model, cfg)
+    recs = [coach.run_iteration() for _ in range(3)]
+    # passes at 1, 2 (warmup) and 3 (interval)
+    assert all("anchored_elo" in r for r in recs)
+    anchor_edges = [m for m in coach.pool_matches if m["b"] == "anchor"]
+    games_per_edge = [
+        m["wins_a"] + m["wins_b"] + m["draws"] for m in anchor_edges
+    ]
+    # warmup edges: 2x4 games; the interval edge: 4
+    assert games_per_edge == [8, 8, 4]
+    # pool edges exist from pass 2 onward (pass 1 snapshots into the pool)
+    assert any(m["b"] != "anchor" for m in coach.pool_matches)
