@@ -109,6 +109,33 @@ def main():
          {"max_depth": 48})
     )
 
+    # Production 15x15 edition (A=225) + the within-family action-space
+    # scaling set: Gomoku edges 7/9/15 -> A=49/81/225 share the same
+    # dynamics code, so the per-sim cost ratio isolates the dense-plane
+    # O(A*C) bet (round-4 VERDICT item 1). docs/ENGINES.md table.
+    gmk15 = Gomoku(15)
+    unig15 = make_uniform_model(gmk15)
+    for B in (1024, 4096):
+        cases.append(
+            (f"gomoku15_uniform_B{B}_100sims", gmk15, unig15.apply_fn, {}, B,
+             {"max_depth": 64})
+        )
+    g15mlp = MLPNet(num_actions=gmk15.num_actions, hidden=(256, 256))
+    g15mlp_apply = make_flax_apply_fn(g15mlp)
+    g15mlp_params = init_flax_model(
+        g15mlp, jax.random.key(3), gmk15.feature_shape
+    )
+    cases.append(
+        ("gomoku15_mlp_B1024_100sims", gmk15, g15mlp_apply, g15mlp_params,
+         1024, {"max_depth": 64})
+    )
+    gmk7 = Gomoku(7)
+    unig7 = make_uniform_model(gmk7)
+    cases.append(
+        ("gomoku7_uniform_B4096_100sims", gmk7, unig7.apply_fn, {}, 4096,
+         {"max_depth": 48})
+    )
+
     # Hex: the connection game — hybrid via parity-lane flat ops, the
     # flood-fill terminal in the engine's XLA stage (games/hex.py)
     from alphazero_tpu.games import Hex
