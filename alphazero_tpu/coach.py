@@ -97,10 +97,25 @@ class Coach:
         init_replay_fn = lambda: replay_init(game, cfg.replay)
 
         rz_cfg = cfg.reanalyze
-        sp_fn = make_selfplay_fn(
-            game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh,
-            record_states=rz_cfg is not None,
-        )
+        self._recycle = bool(getattr(cfg.selfplay, "recycle", False))
+        init_actor_fn = None
+        if self._recycle:
+            if rz_cfg is not None:
+                raise ValueError(
+                    "selfplay.recycle is incompatible with reanalyze "
+                    "(the position ring records the fixed scan's [T, B] "
+                    "root states)"
+                )
+            from alphazero_tpu.selfplay import make_recycling_selfplay_fn
+
+            init_actor_fn, sp_fn = make_recycling_selfplay_fn(
+                game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh
+            )
+        else:
+            sp_fn = make_selfplay_fn(
+                game, apply_fn, cfg.mcts, cfg.selfplay, mesh=mesh,
+                record_states=rz_cfg is not None,
+            )
         insert_fn = lambda r, t: replay_insert(r, game, t)
         if rz_cfg is not None:
             from alphazero_tpu.reanalyze import (
@@ -123,10 +138,17 @@ class Coach:
 
         self.positions = None
         self._reanalyze = None
+        self.actor_carry = None
         if mesh is None:
             self.incumbent = init_state_fn()
             self.replay = init_replay_fn()
-            self._selfplay = jax.jit(sp_fn)
+            if self._recycle:
+                self.actor_carry = jax.jit(init_actor_fn)()
+                # the carry-in buffers are dead after the call — donating
+                # them saves a fragment-buffer copy per iteration
+                self._selfplay = jax.jit(sp_fn, donate_argnums=1)
+            else:
+                self._selfplay = jax.jit(sp_fn)
             # the pre-insert buffer is dead after the call — donating it
             # saves a full replay-capacity copy (hundreds of MB of HBM
             # traffic per iteration at production sizes)
@@ -174,19 +196,51 @@ class Coach:
             self.incumbent = jax.jit(init_state_fn, out_shardings=tstate_sh)()
             self.replay = jax.jit(init_replay_fn, out_shardings=replay_sh)()
 
-            sp_sd = jax.eval_shape(
-                sp_fn, variables_of(self.incumbent), jax.random.key(0)
-            )
-            sp_sh = (
-                jax.tree_util.tree_map(lambda _: data_tb, sp_sd[0]),
-                jax.tree_util.tree_map(lambda _: data_b, sp_sd[1]),
-            )
-            if rz_cfg is not None:
-                # recorded root states are [T, B, ...] like the trajectory
-                sp_sh = sp_sh + (
-                    jax.tree_util.tree_map(lambda _: data_tb, sp_sd[2]),
+            if self._recycle:
+                from alphazero_tpu.selfplay import ActorCarry
+
+                carry_sd = jax.eval_shape(init_actor_fn)
+                carry_sh = ActorCarry(
+                    state=jax.tree_util.tree_map(
+                        lambda _: data_b, carry_sd.state
+                    ),
+                    move_count=data_b,
+                    # fragment buffers are [M, B, ...] like the trajectory
+                    frag_features=data_tb,
+                    frag_pi=data_tb,
                 )
-            self._selfplay = jax.jit(sp_fn, out_shardings=sp_sh)
+                self.actor_carry = jax.jit(
+                    init_actor_fn, out_shardings=carry_sh
+                )()
+                sp_sd = jax.eval_shape(
+                    sp_fn,
+                    variables_of(self.incumbent),
+                    carry_sd,
+                    jax.random.key(0),
+                )
+                sp_sh = (
+                    carry_sh,
+                    jax.tree_util.tree_map(lambda _: data_tb, sp_sd[1]),
+                    jax.tree_util.tree_map(lambda _: data_b, sp_sd[2]),
+                )
+                self._selfplay = jax.jit(
+                    sp_fn, out_shardings=sp_sh, donate_argnums=1
+                )
+            else:
+                sp_sd = jax.eval_shape(
+                    sp_fn, variables_of(self.incumbent), jax.random.key(0)
+                )
+                sp_sh = (
+                    jax.tree_util.tree_map(lambda _: data_tb, sp_sd[0]),
+                    jax.tree_util.tree_map(lambda _: data_b, sp_sd[1]),
+                )
+                if rz_cfg is not None:
+                    # recorded root states are [T, B, ...] like the
+                    # trajectory
+                    sp_sh = sp_sh + (
+                        jax.tree_util.tree_map(lambda _: data_tb, sp_sd[2]),
+                    )
+                self._selfplay = jax.jit(sp_fn, out_shardings=sp_sh)
             self._insert = jax.jit(
                 insert_fn, out_shardings=replay_sh, donate_argnums=0
             )
@@ -354,6 +408,12 @@ class Coach:
             if self.positions is not None:
                 # the reanalyze position ring resumes exactly with the run
                 payload["positions"] = self.positions._asdict()
+            if self.actor_carry is not None:
+                # the recycling actor's live boards + open-episode
+                # fragments: resume continues mid-episode. Regenerable
+                # like the rings (a light resume starts fresh episodes),
+                # so it rides the ring group.
+                payload["actor"] = self.actor_carry._asdict()
         if self._pool_ckpt:
             payload["pool"] = self._pool_payload()
         return payload
@@ -400,7 +460,9 @@ class Coach:
             import itertools
             import logging
 
-            optional = [k for k in ("positions", "pool") if k in template]
+            optional = [
+                k for k in ("positions", "pool", "actor") if k in template
+            ]
             if not optional:
                 raise
             payload = None
@@ -438,13 +500,17 @@ class Coach:
         from alphazero_tpu.checkpoint import newest_ring_step
 
         light_t = {
-            k: v for k, v in template.items() if k not in ("replay", "positions")
+            k: v
+            for k, v in template.items()
+            if k not in ("replay", "positions", "actor")
         }
         payload, sidecar = self._restore_dropping_optional(step, light_t)
         ring_step = newest_ring_step(self.cfg.checkpoint_dir, exclude=exclude_ring)
         if ring_step is not None:
             rings_t = {
-                k: template[k] for k in ("replay", "positions") if k in template
+                k: template[k]
+                for k in ("replay", "positions", "actor")
+                if k in template
             }
             try:
                 rings, _ = restore_checkpoint(
@@ -520,6 +586,10 @@ class Coach:
             from alphazero_tpu.reanalyze import PositionStore
 
             self.positions = PositionStore(**payload["positions"])
+        if "actor" in payload and self.actor_carry is not None:
+            from alphazero_tpu.selfplay import ActorCarry
+
+            self.actor_carry = ActorCarry(**payload["actor"])
         if "pool" in payload:
             import numpy as np
 
@@ -627,8 +697,14 @@ class Coach:
         selfplay_truncated = 0
         if not skip_sp:
             with self.timer.phase("selfplay"):
-                sp_out = self._selfplay(variables_of(self.incumbent), k_sp)
-                traj, stats = sp_out[0], sp_out[1]
+                if self._recycle:
+                    self.actor_carry, traj, stats = self._selfplay(
+                        variables_of(self.incumbent), self.actor_carry, k_sp
+                    )
+                    sp_out = (traj, stats)
+                else:
+                    sp_out = self._selfplay(variables_of(self.incumbent), k_sp)
+                    traj, stats = sp_out[0], sp_out[1]
                 jax.block_until_ready(traj.features)
             moves_sum, trunc_sum = self._stats_reduce(stats.num_moves, stats.done)
             selfplay_moves = int(moves_sum)

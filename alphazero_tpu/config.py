@@ -142,6 +142,22 @@ class SelfPlayConfig:
     #                              full_search_prob is set); KataGo used
     #                              ~num_sims/6 at full_search_prob=0.25
 
+    recycle: bool = False        # episode-recycling self-play
+    #                              (selfplay.make_recycling_selfplay_fn):
+    #                              finished games reset to the initial
+    #                              position instead of burning searches on
+    #                              inert terminal roots (the fixed-T scan
+    #                              wastes ~15% of full-preset searches that
+    #                              way). Value targets resolve exactly via
+    #                              the cross-call fragment carry; first
+    #                              episodes are bit-identical to the fixed
+    #                              scan per seed. Incompatible with
+    #                              tree_reuse / forced_playouts /
+    #                              transposition / PCR / reanalyze.
+    recycle_steps: Optional[int] = None  # searches (= real moves) per
+    #                              iteration per game; defaults to
+    #                              game.max_moves, must be >= it
+
 
 @dataclasses.dataclass(frozen=True)
 class ReplayConfig:

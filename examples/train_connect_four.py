@@ -57,6 +57,22 @@ def main():
         "resume regenerates at most (K-1)*interval iterations of replay "
         "(config.replay_save_stride)",
     )
+    ap.add_argument(
+        "--recycle",
+        action="store_true",
+        help="episode-recycling self-play: every search advances a real "
+        "move (finished games reset), value targets resolve via the "
+        "cross-call fragment carry (selfplay.recycle); the fixed scan "
+        "wastes ~15%% of full-preset searches on finished games",
+    )
+    ap.add_argument(
+        "--recycle-steps",
+        type=int,
+        default=None,
+        metavar="S",
+        help="searches (= real moves) per game per iteration with "
+        "--recycle; defaults to game.max_moves",
+    )
     args = ap.parse_args()
 
     import jax
@@ -203,6 +219,16 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, replay_save_stride=args.replay_stride)
+
+    if args.recycle:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            selfplay=dataclasses.replace(
+                cfg.selfplay, recycle=True, recycle_steps=args.recycle_steps
+            ),
+        )
 
     if args.gumbel is not None:
         import dataclasses

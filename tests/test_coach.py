@@ -814,3 +814,57 @@ def test_anchor_warmup_densifies_early_gauge():
     assert games_per_edge == [8, 8, 4]
     # pool edges exist from pass 2 onward (pass 1 snapshots into the pool)
     assert any(m["b"] != "anchor" for m in coach.pool_matches)
+
+
+def test_recycling_coach_trains_and_resumes(tmp_path):
+    """selfplay.recycle=True through the Coach: iterations run, replay
+    fills, the actor carry (live boards + open-episode fragments)
+    checkpoints and resumes mid-episode, and loss decreases."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg(tmp_path, seed=13),
+        selfplay=dataclasses.replace(
+            tiny_cfg().selfplay, recycle=True
+        ),
+    )
+    game = ConnectFour()
+    coach = Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+    r1 = coach.run_iteration()
+    r2 = coach.run_iteration()
+    # every search is a real move: moves per iteration == S * B exactly
+    S = game.max_moves
+    assert r1["selfplay_moves"] == S * cfg.selfplay.batch_size
+    assert r2["replay_total"] > r1["replay_total"]
+    mc = np.asarray(coach.actor_carry.move_count)
+
+    resumed = Coach(
+        game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg
+    )
+    assert resumed.iteration == 2
+    np.testing.assert_array_equal(
+        np.asarray(resumed.actor_carry.move_count), mc
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed.actor_carry.frag_pi),
+        np.asarray(coach.actor_carry.frag_pi),
+    )
+    r3 = resumed.run_iteration()
+    assert r3["iteration"] == 3
+
+
+def test_recycling_rejects_reanalyze():
+    import dataclasses
+
+    import pytest
+
+    from alphazero_tpu.config import ReanalyzeConfig
+
+    cfg = dataclasses.replace(
+        tiny_cfg(seed=14),
+        selfplay=dataclasses.replace(tiny_cfg().selfplay, recycle=True),
+        reanalyze=ReanalyzeConfig(batch_size=4, capacity=64),
+    )
+    game = ConnectFour()
+    with pytest.raises(ValueError):
+        Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)

@@ -349,3 +349,52 @@ def test_mesh_pool_in_checkpoint(tmp_path):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
     rec = resumed.run_iteration()
     assert "anchored_elo" in rec
+
+
+def test_sharded_recycling_selfplay_matches_unsharded():
+    """The recycling actor under the mesh: sharded == unsharded exactly
+    (games never interact; the fragment carry shards on its B axis)."""
+    from alphazero_tpu.selfplay import ActorCarry, make_recycling_selfplay_fn
+
+    net = make_uniform_model(G)
+    init_carry, rec = make_recycling_selfplay_fn(
+        G,
+        net.apply_fn,
+        MCTSConfig(num_sims=8, max_depth=16),
+        SelfPlayConfig(batch_size=16, temp_threshold=6),
+    )
+    key = jax.random.key(3)
+    carry0 = jax.jit(init_carry)()
+    carry_ref, traj_ref, stats_ref = jax.jit(rec)({}, carry0, key)
+
+    mesh = make_mesh()
+    data_tb = NamedSharding(mesh, P(None, "data"))
+    data_b = NamedSharding(mesh, P("data"))
+    carry_sd = jax.eval_shape(init_carry)
+    carry_sh = ActorCarry(
+        state=jax.tree_util.tree_map(lambda _: data_b, carry_sd.state),
+        move_count=data_b,
+        frag_features=data_tb,
+        frag_pi=data_tb,
+    )
+    carry0_sh = jax.jit(init_carry, out_shardings=carry_sh)()
+    sp_sd = jax.eval_shape(rec, {}, carry_sd, key)
+    rec_sharded = jax.jit(
+        rec,
+        out_shardings=(
+            carry_sh,
+            jax.tree_util.tree_map(lambda _: data_tb, sp_sd[1]),
+            jax.tree_util.tree_map(lambda _: data_b, sp_sd[2]),
+        ),
+    )
+    carry_sh_out, traj_sh, stats_sh = rec_sharded({}, carry0_sh, key)
+    np.testing.assert_array_equal(
+        np.asarray(traj_ref.pi), np.asarray(traj_sh.pi)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_ref.value), np.asarray(traj_sh.value)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(carry_ref.move_count), np.asarray(carry_sh_out.move_count)
+    )
+    assert len(traj_sh.pi.sharding.device_set) == 8

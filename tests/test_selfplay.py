@@ -111,3 +111,129 @@ def test_actor_step_recycles():
     stacked = np.stack(total_height)
     # at least one game recycled within 60 plies
     assert (stacked[1:] < stacked[:-1]).any()
+
+
+class TestRecyclingSelfplay:
+    """make_recycling_selfplay_fn (round-4 VERDICT item 5): every search
+    is a real env step; value targets resolve exactly, one call late at
+    worst, via the fragment carry."""
+
+    def _build(self, B=8, sims=8, temp_threshold=6):
+        from alphazero_tpu.selfplay import make_recycling_selfplay_fn
+
+        mcfg = MCTSConfig(num_sims=sims, max_depth=16)
+        spcfg = SelfPlayConfig(batch_size=B, temp_threshold=temp_threshold)
+        init_carry, rec = make_recycling_selfplay_fn(
+            G, NET.apply_fn, mcfg, spcfg
+        )
+        return mcfg, spcfg, init_carry, jax.jit(rec)
+
+    def test_first_episode_bit_identical_to_fixed_scan(self):
+        """Same seed, same rng discipline: each game's FIRST episode —
+        features, pi targets AND walk-back values — must match
+        make_selfplay_fn exactly (the bit-correctness requirement)."""
+        mcfg, spcfg, init_carry, rec = self._build()
+        fixed = jax.jit(make_selfplay_fn(G, NET.apply_fn, mcfg, spcfg))
+        key = jax.random.key(7)
+        traj_f, stats_f = fixed({}, key)
+        _, traj_r, _ = rec({}, init_carry(), key)
+        M = G.max_moves
+        mf = np.asarray(stats_f.num_moves)
+        done_f = np.asarray(stats_f.done)
+        for b in range(mf.shape[0]):
+            n = int(mf[b])
+            np.testing.assert_array_equal(
+                np.asarray(traj_f.features)[:n, b],
+                np.asarray(traj_r.features)[M : M + n, b],
+            )
+            np.testing.assert_array_equal(
+                np.asarray(traj_f.pi)[:n, b],
+                np.asarray(traj_r.pi)[M : M + n, b],
+            )
+            if done_f[b]:
+                np.testing.assert_array_equal(
+                    np.asarray(traj_f.value)[:n, b],
+                    np.asarray(traj_r.value)[M : M + n, b],
+                )
+
+    def test_sample_conservation_across_calls(self):
+        """Exact accounting: over k calls every move lands in exactly one
+        episode, closed episodes' samples are emitted valid exactly once
+        (in-call or as the next call's fragment), and the only samples
+        still outstanding are the final open episodes — so
+        sum(valid) == k*S*B - sum(final move_count). Connect-four cannot
+        truncate (move 42 fills the board), so the identity is exact."""
+        B = 8
+        mcfg, spcfg, init_carry, rec = self._build(B=B)
+        S = G.max_moves  # default recycle_steps
+        carry = init_carry()
+        total_valid = 0
+        k = 4
+        for i in range(k):
+            carry, traj, stats = rec({}, carry, jax.random.key(100 + i))
+            total_valid += int(np.asarray(traj.valid).sum())
+            assert np.asarray(stats.num_moves).sum() == S * B
+        assert total_valid == k * S * B - int(
+            np.asarray(carry.move_count).sum()
+        )
+
+    def test_values_alternate_within_fragments(self):
+        """Fragment rows are one episode's prefix: consecutive valid rows
+        must alternate sign (negamax) unless the outcome was a draw."""
+        mcfg, spcfg, init_carry, rec = self._build()
+        carry = init_carry()
+        carry, _, _ = rec({}, carry, jax.random.key(1))
+        _, traj, _ = rec({}, carry, jax.random.key(2))
+        M = G.max_moves
+        val = np.asarray(traj.value)[:M]
+        ok = np.asarray(traj.valid)[:M]
+        assert ok.sum() > 0  # fragments actually resolved
+        for b in range(ok.shape[1]):
+            rows = np.nonzero(ok[:, b])[0]
+            for j0, j1 in zip(rows, rows[1:]):
+                if j1 == j0 + 1 and val[j1, b] != 0.0:
+                    assert val[j0, b] == -val[j1, b]
+
+    def test_search_waste_recovered(self):
+        """The point of the feature: valid samples per search ~1 in
+        steady state vs the fixed scan's mean_moves/max_moves (~0.8)."""
+        B = 8
+        mcfg, spcfg, init_carry, rec = self._build(B=B)
+        fixed = jax.jit(make_selfplay_fn(G, NET.apply_fn, mcfg, spcfg))
+        traj_f, _ = fixed({}, jax.random.key(5))
+        fixed_yield = np.asarray(traj_f.valid).sum() / (G.max_moves * B)
+        carry = init_carry()
+        tot = 0
+        for i in range(3):
+            carry, traj, _ = rec({}, carry, jax.random.key(40 + i))
+            tot += int(np.asarray(traj.valid).sum())
+        rec_yield = tot / (3 * G.max_moves * B)
+        assert rec_yield > fixed_yield + 0.05, (rec_yield, fixed_yield)
+
+    def test_incompatible_flags_raise(self):
+        import pytest
+
+        from alphazero_tpu.selfplay import make_recycling_selfplay_fn
+
+        spcfg = SelfPlayConfig(batch_size=4, temp_threshold=6)
+        with pytest.raises(ValueError):
+            make_recycling_selfplay_fn(
+                G, NET.apply_fn,
+                MCTSConfig(num_sims=8, max_depth=16, tree_reuse=True), spcfg,
+            )
+        with pytest.raises(ValueError):
+            make_recycling_selfplay_fn(
+                G, NET.apply_fn,
+                MCTSConfig(num_sims=8, max_depth=16, forced_playouts=2.0,
+                           dirichlet_alpha=1.0),
+                spcfg,
+            )
+        import dataclasses
+
+        with pytest.raises(ValueError):
+            make_recycling_selfplay_fn(
+                G, NET.apply_fn, MCTSConfig(num_sims=8, max_depth=16),
+                dataclasses.replace(
+                    spcfg, full_search_prob=0.25, cheap_sims=2
+                ),
+            )
