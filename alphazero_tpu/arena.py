@@ -64,15 +64,27 @@ def make_arena_fn(
     block_size: Optional[int] = None,
     state_sharding=None,
     mesh=None,
+    mcts_cfg_inc: Optional[MCTSConfig] = None,
 ):
     """Build ``play(params_cand, params_inc, rng) -> ArenaResult``.
 
     ``apply_cand``/``apply_inc`` may be different model families (e.g. a
     net vs the uniform baseline). Both are evaluated on every leaf batch
     and row-selected by whose turn it is in each game — one compiled
-    program regardless of seating."""
+    program regardless of seating.
+
+    ``mcts_cfg_inc`` gives the INCUMBENT side its own search config
+    (asymmetric budgets — e.g. the anchor-ladder rungs, where a 50-sim
+    agent rates against a 1600-sim pure-MCTS rung): each move runs both
+    sides' searches over the full batch and the played counts are
+    row-selected by whose turn it is. Each side's search still models
+    BOTH players' positions through the combined forward (the per-game
+    net select is by the ROOT mover), so semantics match the symmetric
+    arena exactly when the configs coincide. PUCT engines only."""
     B = num_games
     T = max_moves or game.max_moves
+    if mcts_cfg_inc == mcts_cfg:
+        mcts_cfg_inc = None
 
     def combined_apply(params, feats):
         p_cand, p_inc, cand_to_move = params
@@ -86,6 +98,11 @@ def make_arena_fn(
 
     transposition = getattr(mcts_cfg, "transposition", False)
     gumbel = getattr(mcts_cfg, "gumbel", False)
+    if mcts_cfg_inc is not None and (gumbel or transposition):
+        raise ValueError(
+            "asymmetric per-side budgets (mcts_cfg_inc) are a PUCT-engine "
+            "feature — not supported with gumbel/transposition arenas"
+        )
 
     if gumbel:
         # Gumbel mode plays the sequential-halving winner; per-move Gumbel
@@ -100,21 +117,29 @@ def make_arena_fn(
     # counts by whose turn it is — identical semantics to the combined
     # forward (the searching player uses their net for every leaf of their
     # search), at fused-kernel speed.
+    cfg_inc = mcts_cfg_inc or mcts_cfg
     fused_cand = fused_inc = None
     if not transposition and not gumbel:
         fused_cand = make_fused_root_fn(game, apply_cand, mcts_cfg, block_size, mesh=mesh)
-        fused_inc = make_fused_root_fn(game, apply_inc, mcts_cfg, block_size, mesh=mesh)
-    # the combined forward closes over the per-game cand_to_move row select,
-    # which the hybrid's shard_map would replicate against shard-local leaf
-    # boards — on a >1-device mesh the arena uses the XLA engine instead
-    # (GSPMD shards mixed params/batch natively; arena cost is negligible)
-    hybrid = None
-    if (
-        not transposition
-        and not gumbel
-        and (mesh is None or mesh.shape.get("data", 1) == 1)
-    ):
-        hybrid = make_hybrid_root_fn(game, combined_apply, mcts_cfg, block_size)
+        fused_inc = make_fused_root_fn(game, apply_inc, cfg_inc, block_size, mesh=mesh)
+
+    def _side_root_counts(cfg, fused, param_ix):
+        """One side's engine over the combined forward (fused -> hybrid ->
+        XLA, the usual ladder). Used once in the symmetric arena, twice
+        (one per budget) in the asymmetric one."""
+        if fused is not None:
+            return lambda params, state: fused(params[param_ix], state)
+        # the combined forward closes over the per-game cand_to_move row
+        # select, which the hybrid's shard_map would replicate against
+        # shard-local leaf boards — on a >1-device mesh use the XLA
+        # engine instead (GSPMD shards mixed params/batch natively;
+        # arena cost is negligible)
+        if mesh is None or mesh.shape.get("data", 1) == 1:
+            hybrid = make_hybrid_root_fn(game, combined_apply, cfg, block_size)
+            if hybrid is not None:
+                return hybrid
+        search = make_search_fn(game, combined_apply, cfg)
+        return lambda params, state: search(params, state).root_counts()
 
     if gumbel:
         root_counts = None
@@ -127,23 +152,30 @@ def make_arena_fn(
 
         def root_counts(params, state):
             return tt_search(params, state).root_counts()
+    elif mcts_cfg_inc is not None:
+        # asymmetric budgets: both searches run on the full batch, the
+        # played counts row-select by whose turn it is (each search
+        # already models both players via the combined forward / its own
+        # fused call, so this is the symmetric semantics per side)
+        rc_cand = _side_root_counts(mcts_cfg, fused_cand, 0)
+        rc_inc = _side_root_counts(cfg_inc, fused_inc, 1)
+
+        def root_counts(params, state):
+            cand_to_move = params[2]
+            cc = rc_cand(params, state)
+            ci = rc_inc(params, state)
+            return jnp.where(cand_to_move[:, None], cc, ci)
     elif fused_cand is not None and fused_inc is not None:
         def root_counts(params, state):
             p_cand, p_inc, cand_to_move = params
             cc = fused_cand(p_cand, state)
             ci = fused_inc(p_inc, state)
             return jnp.where(cand_to_move[:, None], cc, ci)
-    elif hybrid is not None:
-        # conv/mixed models: the hybrid engine searches with the combined
-        # two-model forward (per-game row select) in XLA between its
-        # descend/merge kernels — same semantics as the XLA engine branch.
-        def root_counts(params, state):
-            return hybrid(params, state)
     else:
-        search = make_search_fn(game, combined_apply, mcts_cfg)
-
-        def root_counts(params, state):
-            return search(params, state).root_counts()
+        # conv/mixed models: the hybrid engine (or the XLA fallback)
+        # searches with the combined two-model forward — per-game row
+        # select — between its descend/merge kernels.
+        root_counts = _side_root_counts(mcts_cfg, None, 0)
 
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)

@@ -49,7 +49,9 @@ from alphazero_tpu.utils import EloTracker, MetricsLogger, PhaseTimer
 def _gen_key(k):
     """JSON round-trip for match-graph player keys (int generation ids or
     the literal 'anchor')."""
-    return k if k == "anchor" else int(k)
+    if isinstance(k, str) and k.startswith("anchor"):
+        return k  # "anchor" or a ladder rung "anchor@SIMS"
+    return int(k)
 
 
 def make_train_phase(model, tcfg, steps: int):
@@ -320,6 +322,54 @@ class Coach:
                     mesh=mesh,
                 )
             )
+            # anchor-ladder rungs (ArenaConfig.anchor_ladder): fixed
+            # pure-MCTS agents at higher budgets. The strongest rung is
+            # where generation 1 actually lands once the base anchor is
+            # swept from the very first pass (measured round 5) — without
+            # it the gauge chain has no informative first link. Each rung
+            # gets an incumbent arena (net@anchor-sims vs uniform@rung-
+            # sims) and a chain arena from the previous rung, both via
+            # the asymmetric-budget arena (arena.py mcts_cfg_inc).
+            self._rung_arenas = {}
+            self._rung_chain = []
+            uni_apply = make_uniform_model(game).apply_fn
+            prev_name, prev_sims = "anchor", anchor_cfg.num_sims
+            for sims in tuple(getattr(cfg.arena, "anchor_ladder", ()) or ()):
+                rung_cfg = dataclasses.replace(anchor_cfg, num_sims=int(sims))
+                name = f"anchor@{int(sims)}"
+                self._rung_arenas[name] = jax.jit(
+                    make_arena_fn(
+                        game,
+                        apply_fn,
+                        uni_apply,
+                        anchor_cfg,
+                        cfg.arena.num_games,
+                        state_sharding=arena_sharding,
+                        mesh=mesh,
+                        mcts_cfg_inc=rung_cfg,
+                    )
+                )
+                self._rung_chain.append(
+                    (
+                        prev_name,
+                        name,
+                        jax.jit(
+                            make_arena_fn(
+                                game,
+                                uni_apply,
+                                uni_apply,
+                                dataclasses.replace(
+                                    anchor_cfg, num_sims=prev_sims
+                                ),
+                                cfg.arena.num_games,
+                                state_sharding=arena_sharding,
+                                mesh=mesh,
+                                mcts_cfg_inc=rung_cfg,
+                            )
+                        ),
+                    )
+                )
+                prev_name, prev_sims = name, int(sims)
             # incumbent-vs-pool rating matches ride the same standardized
             # protocol as the anchor edges (one consistent match graph);
             # this is the gate arena itself unless training uses a
@@ -848,6 +898,52 @@ class Coach:
         self.pool_matches.append(
             {"a": me, "b": "anchor", "wins_a": aw, "wins_b": al, "draws": ad}
         )
+
+        if self._rung_chain and not any(
+            isinstance(m["a"], str) for m in self.pool_matches
+        ):
+            # one-time ladder calibration: the rungs are FIXED agents, so
+            # the chain edges anchor -> rung1 -> rung2 are permanent (they
+            # persist in the sidecar and survive resume — the isinstance
+            # probe above sees them and skips this block)
+            mult = max(int(self.cfg.arena.anchor_warmup_mult), 1)
+            for lo, hi, chain_arena in self._rung_chain:
+                w = l = d = 0
+                for _ in range(mult):
+                    (k_ch,) = self._split(1)
+                    with self.timer.phase("anchor"):
+                        crr = chain_arena({}, {}, k_ch)
+                        jax.block_until_ready(crr.cand_wins)
+                    w += int(crr.cand_wins)
+                    l += int(crr.inc_wins)
+                    d += int(crr.draws)
+                self.pool_matches.append(
+                    {"a": lo, "b": hi, "wins_a": w, "wins_b": l, "draws": d}
+                )
+        for rung, rung_arena in self._rung_arenas.items():
+            # retire a rung for the incumbent once swept twice in a row
+            # (no losses, no draws) — it carries no more information
+            hist = [
+                m
+                for m in self.pool_matches
+                if m["b"] == rung and not isinstance(m["a"], str)
+            ]
+            if len(hist) >= 2 and all(
+                m["wins_b"] == 0 and m["draws"] == 0 for m in hist[-2:]
+            ):
+                continue
+            rw = rl = rd = 0
+            for _ in range(reps):
+                (k_r,) = self._split(1)
+                with self.timer.phase("anchor"):
+                    rr = rung_arena(inc_vars, {}, k_r)
+                    jax.block_until_ready(rr.cand_wins)
+                rw += int(rr.cand_wins)
+                rl += int(rr.inc_wins)
+                rd += int(rr.draws)
+            self.pool_matches.append(
+                {"a": me, "b": rung, "wins_a": rw, "wins_b": rl, "draws": rd}
+            )
 
         snap_shardings = jax.tree_util.tree_map(lambda l: l.sharding, inc_vars)
         for gen_id, snap_host in self.pool:

@@ -217,6 +217,25 @@ class ArenaConfig:
     #                              anchored rating matches (evicted to
     #                              keep generations roughly evenly spaced,
     #                              newest always kept)
+    anchor_ladder: tuple = ()    # extra FIXED pure-MCTS anchor rungs at
+    #                              these simulation budgets (e.g.
+    #                              (400, 1600)). The base anchor stays the
+    #                              pinned Elo-0 gauge; rungs are players
+    #                              "anchor@SIMS" in the match graph. Once
+    #                              per run the chain anchor->rung1->rung2
+    #                              is calibrated (uniform-vs-uniform
+    #                              asymmetric-budget arenas, warmup_mult x
+    #                              games — rungs are fixed agents, so
+    #                              these edges are permanent); every
+    #                              anchored pass the incumbent also plays
+    #                              each rung until it has swept it twice
+    #                              (then the rung is retired for the
+    #                              incumbent). Motive: a strong net sweeps
+    #                              the base anchor from iteration 1
+    #                              (measured round 5), leaving the gauge
+    #                              chain with no informative first link —
+    #                              the strongest rung is where generation
+    #                              1 actually lands.
     anchor_warmup: int = 0       # ALSO run the anchored pass at every
     #                              iteration <= this. The round-4 flagship
     #                              artifacts show anchor_win_rate = 1.0

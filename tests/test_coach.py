@@ -868,3 +868,62 @@ def test_recycling_rejects_reanalyze():
     game = ConnectFour()
     with pytest.raises(ValueError):
         Coach(game, MLPNet(num_actions=game.num_actions, hidden=(32,)), cfg)
+
+
+def test_anchor_ladder_builds_informative_gauge_chain(tmp_path):
+    """ArenaConfig.anchor_ladder: fixed pure-MCTS rungs at higher budgets.
+    One-time chain calibration (anchor -> rung edges, uniform-vs-uniform
+    asymmetric-budget arenas) plus incumbent-vs-rung edges each pass;
+    chain edges persist in the sidecar and are NOT replayed on resume."""
+    import dataclasses
+
+    from alphazero_tpu.config import ArenaConfig
+
+    game = ConnectFour()
+    model = MLPNet(num_actions=game.num_actions, hidden=(32,))
+    cfg = dataclasses.replace(
+        tiny_cfg(tmp_path, seed=15),
+        arena=ArenaConfig(
+            num_games=4,
+            update_threshold=None,
+            num_sims=4,
+            anchor_interval=1,
+            anchor_ladder=(8, 16),
+        ),
+    )
+    coach = Coach(game, model, cfg)
+    coach.run_iteration()
+    chain = [m for m in coach.pool_matches if isinstance(m["a"], str)]
+    assert [(m["a"], m["b"]) for m in chain] == [
+        ("anchor", "anchor@8"),
+        ("anchor@8", "anchor@16"),
+    ]
+    rung_edges = [
+        m
+        for m in coach.pool_matches
+        if not isinstance(m["a"], str) and str(m["b"]).startswith("anchor@")
+    ]
+    assert {m["b"] for m in rung_edges} == {"anchor@8", "anchor@16"}
+    # rungs are rated players in the anchored fit, ordered by budget
+    r = coach.anchored_ratings
+    assert r["anchor"] == 0.0
+    assert "anchor@8" in r and "anchor@16" in r
+    n_chain = len(chain)
+    coach.run_iteration()
+    # chain NOT recalibrated on the second pass
+    assert (
+        len([m for m in coach.pool_matches if isinstance(m["a"], str)])
+        == n_chain
+    )
+
+    resumed = Coach(game, model, cfg)
+    assert [
+        (m["a"], m["b"])
+        for m in resumed.pool_matches
+        if isinstance(m["a"], str)
+    ] == [("anchor", "anchor@8"), ("anchor@8", "anchor@16")]
+    resumed.run_iteration()  # and the third pass still doesn't recalibrate
+    assert (
+        len([m for m in resumed.pool_matches if isinstance(m["a"], str)])
+        == n_chain
+    )
