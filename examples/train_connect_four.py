@@ -178,6 +178,10 @@ def main():
                 anchor_warmup=6,
                 anchor_warmup_mult=4,
                 pool_cross_matches=2,
+                # pure-MCTS rungs: generation 1 sweeps the base anchor
+                # outright (round-5 measurement), these give the gauge
+                # chain an informative first link
+                anchor_ladder=(400, 1600),
             ),
             num_iterations=50,
             seed=args.seed,
@@ -209,6 +213,7 @@ def main():
                 anchor_warmup=6,
                 anchor_warmup_mult=4,
                 pool_cross_matches=2,
+                anchor_ladder=(400, 1600),
             ),
             num_iterations=50,
             seed=args.seed,

@@ -143,6 +143,64 @@ def test_hybrid_gomoku_move_matches_golden(goldens):
     _check(goldens, "hybrid_gomoku_uniform_counts_head", counts[:4])
 
 
+def test_hybrid_othello_move_matches_golden(goldens):
+    """Othello on the hybrid engine under real Mosaic: the in-kernel
+    flip-ray ``step`` (games/othello.py ``OthelloFlatOps`` — eight
+    masked directional ray scans, the most intricate kernel-side
+    dynamics in the repo) previously had only a step-level CPU-vs-TPU
+    equality check; this freezes whole SEARCHES over it so a Mosaic
+    lowering regression in the descend/merge path cannot pass the gate
+    (round-4 VERDICT item 6). Both the pure-kernel (uniform) and
+    model-forward (MLP) paths are frozen, from a mid-game position set
+    so rays actually flip."""
+    from alphazero_tpu.games import Othello
+    from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
+    from alphazero_tpu.models import (
+        MLPNet,
+        init_flax_model,
+        make_flax_apply_fn,
+        make_uniform_model,
+    )
+
+    game = Othello()
+    cfg = MCTSConfig(num_sims=16, max_depth=80)
+    state = _positions(game, 256, 7, seed=23)
+
+    net = make_uniform_model(game)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg)
+    assert hybrid is not None
+    counts = np.asarray(jax.jit(hybrid)({}, state))
+    assert counts.sum(-1).max() == 16
+    _check(goldens, "hybrid_othello_uniform_counts_head", counts[:4])
+
+    model = MLPNet(num_actions=game.num_actions, hidden=(32, 32))
+    apply_fn = make_flax_apply_fn(model)
+    params = init_flax_model(model, jax.random.key(5), game.feature_shape)
+    hybrid_mlp = make_hybrid_root_fn(game, apply_fn, cfg)
+    assert hybrid_mlp is not None
+    counts_mlp = np.asarray(jax.jit(hybrid_mlp)(params, state))
+    _check(goldens, "hybrid_othello_mlp_counts_head", counts_mlp[:4])
+
+
+def test_hybrid_gomoku15_move_matches_golden(goldens):
+    """The production 15x15 Gomoku edition (A=225) on the hybrid engine
+    under real Mosaic — the largest action space the dense-plane layout
+    serves (round-4 VERDICT item 1)."""
+    from alphazero_tpu.games import Gomoku
+    from alphazero_tpu.mcts.hybrid import make_hybrid_root_fn
+    from alphazero_tpu.models import make_uniform_model
+
+    game = Gomoku(15)
+    net = make_uniform_model(game)
+    cfg = MCTSConfig(num_sims=16, max_depth=64)
+    hybrid = make_hybrid_root_fn(game, net.apply_fn, cfg)
+    assert hybrid is not None
+    state = _positions(game, 256, 9, seed=31)
+    counts = np.asarray(jax.jit(hybrid)({}, state))
+    assert counts.sum(-1).max() == 16
+    _check(goldens, "hybrid_gomoku15_uniform_counts_head", counts[:4])
+
+
 def test_hybrid_hex_move_matches_golden(goldens):
     """Fourth game on the hybrid engine under real Mosaic: the
     parity-lane flat ops (games/hex.py ``HexFlatOps``) keep the kernel
