@@ -54,7 +54,7 @@ def _gen_key(k):
     return int(k)
 
 
-def make_train_phase(model, tcfg, steps: int):
+def make_train_phase(model, tcfg, steps: int, game=None):
     """Whole training phase under one jit: scan over minibatch steps, each
     sampling the (device-resident) replay with its own key."""
     train_step = make_train_step(model, tcfg)
@@ -62,7 +62,9 @@ def make_train_phase(model, tcfg, steps: int):
     def phase(tstate: TrainState, replay, rng):
         def body(ts, key):
             k_sample, k_drop = jax.random.split(key)
-            feats, pi_t, v_t = replay_sample(replay, k_sample, tcfg.batch_size)
+            feats, pi_t, v_t = replay_sample(
+                replay, k_sample, tcfg.batch_size, game
+            )
             ts, metrics = train_step(ts, feats, pi_t, v_t, k_drop)
             return ts, metrics.loss
 
@@ -126,7 +128,9 @@ class Coach:
 
             rz_fn = make_reanalyze_fn(game, apply_fn, cfg.mcts, rz_cfg, mesh=mesh)
             pos_init_fn = lambda: position_init(game, rz_cfg.capacity)
-        train_fn = make_train_phase(model, cfg.train, cfg.train.steps_per_iteration)
+        train_fn = make_train_phase(
+            model, cfg.train, cfg.train.steps_per_iteration, game=game
+        )
         # arena evaluation is noise-free greedy play: strip root Dirichlet
         # (with it, the search would demand an rng the arena never
         # supplies) and forced playouts (a training-target device — it
@@ -188,8 +192,7 @@ class Coach:
                 step=repl,
             )
             replay_sh = ReplayState(
-                features=data_b, pi=data_b, value=data_b,
-                pos=repl, size=repl, total=repl,
+                data=data_b, pos=repl, size=repl, total=repl,
             )
             # jit-create the live state directly under its shardings: the
             # outputs are global arrays, which makes the same code correct
@@ -567,22 +570,37 @@ class Coach:
                     self.cfg.checkpoint_dir, ring_step, rings_t, partial=True
                 )
             except Exception:
-                # ring checkpoint may predate the reanalyze ring (or a
-                # field inside it) — take the replay alone
-                rings, _ = restore_checkpoint(
-                    self.cfg.checkpoint_dir,
-                    ring_step,
-                    {"replay": template["replay"]},
-                    partial=True,
-                )
+                try:
+                    # ring checkpoint may predate the reanalyze ring (or a
+                    # field inside it) — take the replay alone
+                    rings, _ = restore_checkpoint(
+                        self.cfg.checkpoint_dir,
+                        ring_step,
+                        {"replay": template["replay"]},
+                        partial=True,
+                    )
+                except Exception:
+                    # replay layout changed (e.g. the round-5 packed-row
+                    # ring vs a pre-round-5 checkpoint): resume with empty
+                    # rings rather than failing — params/counters survive
+                    rings = {}
             payload.update(rings)
-            logging.getLogger(__name__).warning(
-                "light checkpoint %d: replay/reanalyze rings restored "
-                "from ring-bearing checkpoint %d (%d iterations older)",
-                step,
-                ring_step,
-                step - ring_step,
-            )
+            if rings:
+                logging.getLogger(__name__).warning(
+                    "light checkpoint %d: replay/reanalyze rings restored "
+                    "from ring-bearing checkpoint %d (%d iterations older)",
+                    step,
+                    ring_step,
+                    step - ring_step,
+                )
+            else:
+                logging.getLogger(__name__).warning(
+                    "light checkpoint %d: ring checkpoint %d is "
+                    "incompatible (layout change) — resuming with empty "
+                    "rings (they repopulate)",
+                    step,
+                    ring_step,
+                )
         else:
             logging.getLogger(__name__).warning(
                 "light checkpoint %d with no ring-bearing checkpoint "

@@ -28,9 +28,17 @@ _LIMB_BITS = 30  # total = hi * 2^30 + lo; both limbs stay far from i32 range
 
 
 class ReplayState(NamedTuple):
-    features: jax.Array  # f32[Cap, ...feature_shape]
-    pi: jax.Array        # f32[Cap, A]
-    value: jax.Array     # f32[Cap]
+    """Packed ring: one row per sample, ``[features... | pi... | value]``.
+
+    TPU arrays tile their two minor dims to (8, 128); storing features/
+    pi/value as separate arrays paid that padding three times over —
+    measured on the full preset, ``pi f32[Cap, 7]`` alone expanded 18x
+    (1 GB/2M rows for 56 MB of data) and the whole ring OOMed a 16 GB
+    chip at 2M capacity. One packed f32[Cap, F+A+1] row (92 lanes for
+    connect-four) fits a single 128-lane tile: ~10x less HBM, and
+    insert becomes ONE scatter instead of three."""
+
+    data: jax.Array      # f32[Cap, F+A+1] packed rows
     pos: jax.Array       # i32[] next write slot
     size: jax.Array      # i32[] live sample count (<= Cap)
     total: jax.Array     # i32[2] lifetime samples as (hi, lo) base-2^30
@@ -45,16 +53,30 @@ def replay_total(replay: ReplayState) -> int:
     return (hi << _LIMB_BITS) | lo
 
 
+def _row_width(game) -> int:
+    import math
+
+    return math.prod(game.feature_shape) + game.num_actions + 1
+
+
 def replay_init(game, cfg: ReplayConfig) -> ReplayState:
     cap = cfg.capacity
     return ReplayState(
-        features=jnp.zeros((cap,) + tuple(game.feature_shape), jnp.float32),
-        pi=jnp.zeros((cap, game.num_actions), jnp.float32),
-        value=jnp.zeros((cap,), jnp.float32),
+        data=jnp.zeros((cap, _row_width(game)), jnp.float32),
         pos=jnp.zeros((), jnp.int32),
         size=jnp.zeros((), jnp.int32),
         total=jnp.zeros((2,), jnp.int32),
     )
+
+
+def replay_unpack(replay: ReplayState, game):
+    """(features, pi, value) views of the whole ring (tests/tools)."""
+    import math
+
+    F = math.prod(game.feature_shape)
+    A = game.num_actions
+    feats = replay.data[:, :F].reshape((-1,) + tuple(game.feature_shape))
+    return feats, replay.data[:, F : F + A], replay.data[:, F + A]
 
 
 def replay_insert(
@@ -67,7 +89,7 @@ def replay_insert(
     so insertion order (and therefore eviction order) is deterministic:
     time-major, then batch, then symmetry index.
     """
-    cap = replay.features.shape[0]
+    cap = replay.data.shape[0]
 
     sym_v = jax.vmap(game.symmetries)  # over flattened samples
     T, B = traj.valid.shape
@@ -75,10 +97,11 @@ def replay_insert(
     feats, pis = sym_v(flat(traj.features), flat(traj.pi))
     S = feats.shape[1]
     n = T * B * S
-    feats = feats.reshape((n,) + feats.shape[2:])
+    feats = feats.reshape((n, -1))
     pis = pis.reshape((n, pis.shape[-1]))
     vals = jnp.repeat(flat(traj.value), S)
     valid = jnp.repeat(flat(traj.valid), S)
+    rows = jnp.concatenate([feats, pis, vals[:, None]], axis=1)
 
     offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
     idx = jnp.where(valid, (replay.pos + offs) % cap, cap)  # cap -> dropped
@@ -89,9 +112,7 @@ def replay_insert(
         [replay.total[0] + (lo >> _LIMB_BITS), lo & ((1 << _LIMB_BITS) - 1)]
     )
     return ReplayState(
-        features=replay.features.at[idx].set(feats, mode="drop"),
-        pi=replay.pi.at[idx].set(pis, mode="drop"),
-        value=replay.value.at[idx].set(vals, mode="drop"),
+        data=replay.data.at[idx].set(rows, mode="drop"),
         pos=(replay.pos + num) % cap,
         size=jnp.minimum(replay.size + num, cap),
         total=total,
@@ -99,12 +120,19 @@ def replay_insert(
 
 
 def replay_sample(
-    replay: ReplayState, rng: jax.Array, batch_size: int
+    replay: ReplayState, rng: jax.Array, batch_size: int, game
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Uniform sample with replacement over the live region — the analogue
     of the reference's shuffle-then-epoch pass (coach.rs:311-315 +
-    connect_four_net.py:127-151's minibatch loop)."""
+    connect_four_net.py:127-151's minibatch loop). One row gather from the
+    packed ring, split into (features, pi, value) on the way out."""
+    import math
+
     idx = jax.random.randint(
         rng, (batch_size,), 0, jnp.maximum(replay.size, 1)
     )
-    return replay.features[idx], replay.pi[idx], replay.value[idx]
+    rows = replay.data[idx]
+    F = math.prod(game.feature_shape)
+    A = game.num_actions
+    feats = rows[:, :F].reshape((batch_size,) + tuple(game.feature_shape))
+    return feats, rows[:, F : F + A], rows[:, F + A]

@@ -73,6 +73,13 @@ def main():
         help="searches (= real moves) per game per iteration with "
         "--recycle; defaults to game.max_moves",
     )
+    ap.add_argument(
+        "--replay-capacity",
+        type=int,
+        default=None,
+        metavar="N",
+        help="override the preset's replay ring capacity (samples)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -232,6 +239,16 @@ def main():
             cfg,
             selfplay=dataclasses.replace(
                 cfg.selfplay, recycle=True, recycle_steps=args.recycle_steps
+            ),
+        )
+
+    if args.replay_capacity is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            replay=dataclasses.replace(
+                cfg.replay, capacity=args.replay_capacity
             ),
         )
 

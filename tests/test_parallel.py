@@ -118,11 +118,7 @@ def test_sharded_replay_roundtrip():
     mesh = make_mesh()
     replay = replay_init(G, ReplayConfig(capacity=1024))
     rep_sh = NamedSharding(mesh, P("data"))
-    replay = replay._replace(
-        features=jax.device_put(replay.features, rep_sh),
-        pi=jax.device_put(replay.pi, rep_sh),
-        value=jax.device_put(replay.value, rep_sh),
-    )
+    replay = replay._replace(data=jax.device_put(replay.data, rep_sh))
     net = make_uniform_model(G)
     sp = jax.jit(
         make_selfplay_fn(
@@ -135,7 +131,7 @@ def test_sharded_replay_roundtrip():
     traj, _ = sp({}, jax.random.key(0))
     replay = jax.jit(lambda r, t: replay_insert(r, G, t))(replay, traj)
     assert int(replay.size) > 0
-    feats, pi, v = replay_sample(replay, jax.random.key(1), 32)
+    feats, pi, v = replay_sample(replay, jax.random.key(1), 32, G)
     assert feats.shape == (32, 6, 7, 2)
     assert np.isfinite(np.asarray(pi)).all()
 
@@ -244,9 +240,9 @@ def test_mesh_checkpoint_resume_preserves_shardings(tmp_path):
         saved_params, jax.tree_util.tree_leaves(resumed.incumbent.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # restored replay features are actually data-sharded over the mesh,
+    # restored replay rows are actually data-sharded over the mesh,
     # not replicated: each of the 8 devices holds 1/8 of the ring
-    feat = resumed.replay.features
+    feat = resumed.replay.data
     assert len(feat.sharding.device_set) == 8
     shard_rows = {s.data.shape[0] for s in feat.addressable_shards}
     assert shard_rows == {feat.shape[0] // 8}

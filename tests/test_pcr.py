@@ -104,7 +104,7 @@ def test_value_only_rows_flow_through_replay():
     n_valid = int(np.asarray(traj.valid).sum())
     # symmetries double the samples; all valid rows inserted (incl. value-only)
     assert int(replay.size) == 2 * n_valid
-    feats, pi, v = replay_sample(replay, jax.random.PRNGKey(0), 64)
+    feats, pi, v = replay_sample(replay, jax.random.PRNGKey(0), 64, G)
     sums = np.asarray(pi).sum(-1)
     assert ((sums < 1e-6) | (np.abs(sums - 1.0) < 1e-4)).all()
 

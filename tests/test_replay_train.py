@@ -40,11 +40,12 @@ def test_replay_insert_counts_and_symmetry_expansion():
     assert int(replay.pos) == 10
     assert replay_total(replay) == 10
     # mirrored sample sits right after its identity twin
-    f = np.asarray(replay.features)
+    from alphazero_tpu.replay import replay_unpack
+
+    fs, ps, vs = replay_unpack(replay, G)
+    f, p, v = np.asarray(fs), np.asarray(ps), np.asarray(vs)
     np.testing.assert_array_equal(f[1], f[0][:, ::-1, :])
-    p = np.asarray(replay.pi)
     np.testing.assert_array_equal(p[1], p[0][::-1])
-    v = np.asarray(replay.value)
     assert v[0] == v[1]
 
 
@@ -60,7 +61,7 @@ def test_replay_ring_wrap():
 def test_replay_sample_bounds():
     replay = replay_init(G, ReplayConfig(capacity=32))
     replay = replay_insert(replay, G, tiny_traj())
-    feats, pi, v = replay_sample(replay, jax.random.key(0), 16)
+    feats, pi, v = replay_sample(replay, jax.random.key(0), 16, G)
     assert feats.shape == (16, 6, 7, 2)
     assert pi.shape == (16, 7)
     assert np.all(np.abs(np.asarray(v)) <= 1.0)
@@ -132,7 +133,7 @@ def test_end_to_end_selfplay_to_train():
     cfg = TrainConfig(learning_rate=1e-3)
     tstate = init_train_state(model, jax.random.key(1), G.feature_shape, cfg)
     step = jax.jit(make_train_step(model, cfg))
-    feats, pi_t, v_t = replay_sample(replay, jax.random.key(2), 32)
+    feats, pi_t, v_t = replay_sample(replay, jax.random.key(2), 32, G)
     tstate, m = step(tstate, feats, pi_t, v_t, jax.random.key(3))
     assert np.isfinite(float(m.loss))
 
