@@ -205,12 +205,20 @@ def main():
             keep_checkpoints=4,
         )
     else:
-        # BASELINE config 3: conv resnet, batched self-play 4096 games
+        # BASELINE config 3: conv resnet, batched self-play 4096 games.
+        # Round-5 adoption (docs/ROUND5.md 2x2 factorial, seed-1 50-iter
+        # arms at ±25-30 SE): episode recycling + a 2M packed ring —
+        # recycle alone shrank the replay window and LOST ~370 Elo at
+        # 1M capacity; with the window restored it matches/beats the
+        # fixed scan (2325±30 vs 2195±28 final) at +42% sample
+        # throughput for the same selfplay wall-clock.
         model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
         cfg = AZConfig(
             mcts=MCTSConfig(num_sims=100, max_depth=48, dirichlet_alpha=1.0),
-            selfplay=SelfPlayConfig(batch_size=4096, temp_threshold=15),
-            replay=ReplayConfig(capacity=1 << 20),
+            selfplay=SelfPlayConfig(
+                batch_size=4096, temp_threshold=15, recycle=True
+            ),
+            replay=ReplayConfig(capacity=1 << 21),
             train=TrainConfig(batch_size=1024, steps_per_iteration=512),
             arena=ArenaConfig(
                 num_games=256,
