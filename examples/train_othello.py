@@ -31,6 +31,17 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--channels",
+        type=int,
+        default=64,
+        help="AZResNet tower width for --preset full (the round-5 MFU "
+        "study: 128 runs the MXU at 68.7%% of peak vs 64's 52.8%%, at "
+        "4x the FLOPs — docs/ENGINES.md)",
+    )
+    ap.add_argument(
+        "--blocks", type=int, default=5, help="AZResNet depth for --preset full"
+    )
+    ap.add_argument(
         "--gumbel",
         type=int,
         default=None,
@@ -99,7 +110,11 @@ def main():
             checkpoint_dir=args.checkpoint_dir,
         )
     else:
-        model = AZResNet(num_actions=game.num_actions, channels=64, blocks=5)
+        model = AZResNet(
+            num_actions=game.num_actions,
+            channels=args.channels,
+            blocks=args.blocks,
+        )
         # CONTINUOUS (AlphaZero-2017) mode: measured on v5e, a gated run
         # deadlocks at generation 0 — the random-init ResNet's BN washes
         # its priors to near-uniform, so the incumbent plays essentially
@@ -118,6 +133,13 @@ def main():
                 update_threshold=None,
                 num_sims=50,
                 anchor_interval=5,
+                # round-5 instrument (docs/ROUND5.md): dense early passes
+                # + pure-MCTS rungs keep anchored SE tight enough to
+                # resolve preset-level comparisons
+                anchor_warmup=6,
+                anchor_warmup_mult=2,
+                pool_cross_matches=2,
+                anchor_ladder=(400, 1600),
             ),
             num_iterations=30,
             seed=args.seed,
