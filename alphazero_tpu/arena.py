@@ -65,6 +65,7 @@ def make_arena_fn(
     state_sharding=None,
     mesh=None,
     mcts_cfg_inc: Optional[MCTSConfig] = None,
+    host_chunk: Optional[int] = None,
 ):
     """Build ``play(params_cand, params_inc, rng) -> ArenaResult``.
 
@@ -80,7 +81,18 @@ def make_arena_fn(
     row-selected by whose turn it is. Each side's search still models
     BOTH players' positions through the combined forward (the per-game
     net select is by the ROOT mover), so semantics match the symmetric
-    arena exactly when the configs coincide. PUCT engines only."""
+    arena exactly when the configs coincide. PUCT engines only.
+
+    ``host_chunk`` bounds the DURATION of any single compiled program:
+    the move loop runs as ceil(T/chunk)-many jitted chunk-scans with the
+    carry crossing the host between them (extra steps past T are
+    identity on done games, so results are unchanged). Needed for
+    high-budget rating arenas on slow games — measured on the v5e
+    tunnel, a single program running for multiple minutes (the Othello
+    400v1600 ladder arena, whatever the engine) kills the TPU worker
+    outright; ~30-60 s programs are fine. A ``host_chunk`` arena manages
+    its own jit — do NOT wrap it in another ``jax.jit`` (that would fuse
+    the chunks back into one program)."""
     B = num_games
     T = max_moves or game.max_moves
     if mcts_cfg_inc == mcts_cfg:
@@ -158,7 +170,18 @@ def make_arena_fn(
         # already models both players via the combined forward / its own
         # fused call, so this is the symmetric semantics per side)
         rc_cand = _side_root_counts(mcts_cfg, fused_cand, 0)
-        rc_inc = _side_root_counts(cfg_inc, fused_inc, 1)
+        if fused_cand is None and fused_inc is None:
+            # measured on v5e (round 5): TWO hybrid engines with
+            # different tree capacities in one compiled program fault
+            # the TPU (Othello chain arena 400v1600 crashes; either
+            # alone runs fine). Until that Mosaic interaction is
+            # understood, the second side takes the XLA engine — these
+            # are rating arenas at small B, where the XLA engine's cost
+            # is acceptable.
+            search_inc = make_search_fn(game, combined_apply, cfg_inc)
+            rc_inc = lambda params, state: search_inc(params, state).root_counts()
+        else:
+            rc_inc = _side_root_counts(cfg_inc, fused_inc, 1)
 
         def root_counts(params, state):
             cand_to_move = params[2]
@@ -180,6 +203,55 @@ def make_arena_fn(
     step_v = jax.vmap(game.step)
     term_v = jax.vmap(game.terminal)
 
+    def move_p(ps, carry, t):
+        params_cand, params_inc = ps
+        state, done, cand_to_move, winner_cand, is_draw, rng = carry
+        rng, k_tie = jax.random.split(rng)
+        if gumbel:
+            action = gsearch(
+                (params_cand, params_inc, cand_to_move), state, k_tie
+            ).action
+        else:
+            counts = root_counts(
+                (params_cand, params_inc, cand_to_move), state
+            )
+            # greedy argmax play with random tie-break (temp = 0,
+            # coach.rs:356-371's |x| argmax closures)
+            pi = action_probs(counts, 0.0, k_tie)
+            action = jnp.argmax(pi, axis=-1)
+        nxt = step_v(state, action)
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(
+                done.reshape((-1,) + (1,) * (n.ndim - 1)), o, n
+            ),
+            nxt,
+            state,
+        )
+        now_done, tv = term_v(state)
+        ended = ~done & now_done
+        # tv < 0: the player to move lost => the mover won
+        mover_won = tv < -0.5
+        to_move_won = tv > 0.5
+        won_cand = jnp.where(mover_won, cand_to_move, ~cand_to_move)
+        winner_cand = jnp.where(
+            ended & (mover_won | to_move_won), won_cand, winner_cand
+        )
+        is_draw = jnp.where(
+            ended & ~mover_won & ~to_move_won, True, is_draw
+        )
+        done = done | now_done
+        cand_to_move = jnp.where(done, cand_to_move, ~cand_to_move)
+        return (state, done, cand_to_move, winner_cand, is_draw, rng), None
+
+    if host_chunk is not None:
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _chunk_scan(ps, carry):
+            return jax.lax.scan(
+                lambda c, t: move_p(ps, c, t), carry, jnp.arange(host_chunk)
+            )[0]
+
     def play(params_cand: Any, params_inc: Any, rng: jax.Array) -> ArenaResult:
         # seating: first half candidate moves first (arena.rs:74-79 swap)
         cand_first = jnp.arange(B) < (B + 1) // 2
@@ -195,44 +267,7 @@ def make_arena_fn(
                 cand_first, state_sharding
             )
 
-        def move(carry, t):
-            state, done, cand_to_move, winner_cand, is_draw, rng = carry
-            rng, k_tie = jax.random.split(rng)
-            if gumbel:
-                action = gsearch(
-                    (params_cand, params_inc, cand_to_move), state, k_tie
-                ).action
-            else:
-                counts = root_counts(
-                    (params_cand, params_inc, cand_to_move), state
-                )
-                # greedy argmax play with random tie-break (temp = 0,
-                # coach.rs:356-371's |x| argmax closures)
-                pi = action_probs(counts, 0.0, k_tie)
-                action = jnp.argmax(pi, axis=-1)
-            nxt = step_v(state, action)
-            state = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(
-                    done.reshape((-1,) + (1,) * (n.ndim - 1)), o, n
-                ),
-                nxt,
-                state,
-            )
-            now_done, tv = term_v(state)
-            ended = ~done & now_done
-            # tv < 0: the player to move lost => the mover won
-            mover_won = tv < -0.5
-            to_move_won = tv > 0.5
-            won_cand = jnp.where(mover_won, cand_to_move, ~cand_to_move)
-            winner_cand = jnp.where(
-                ended & (mover_won | to_move_won), won_cand, winner_cand
-            )
-            is_draw = jnp.where(
-                ended & ~mover_won & ~to_move_won, True, is_draw
-            )
-            done = done | now_done
-            cand_to_move = jnp.where(done, cand_to_move, ~cand_to_move)
-            return (state, done, cand_to_move, winner_cand, is_draw, rng), None
+        move = lambda carry, t: move_p((params_cand, params_inc), carry, t)
 
         carry0 = (
             state,
@@ -242,9 +277,19 @@ def make_arena_fn(
             jnp.zeros((B,), bool),
             rng,
         )
-        (state, done, _, winner_cand, is_draw, _), _ = jax.lax.scan(
-            move, carry0, jnp.arange(T)
-        )
+        if host_chunk is None:
+            (state, done, _, winner_cand, is_draw, _), _ = jax.lax.scan(
+                move, carry0, jnp.arange(T)
+            )
+        else:
+            # bounded-duration chunks; extra steps past T are identity on
+            # done games (the move body is fully done-masked)
+            n_chunks = -(-T // host_chunk)
+            ps = (params_cand, params_inc)
+            for _ in range(n_chunks):
+                carry0 = _chunk_scan(ps, carry0)
+                jax.block_until_ready(carry0[1])
+            (state, done, _, winner_cand, is_draw, _) = carry0
         decisive = done & ~is_draw
         return ArenaResult(
             cand_wins=jnp.sum(decisive & winner_cand).astype(jnp.int32),

@@ -340,35 +340,37 @@ class Coach:
             for sims in tuple(getattr(cfg.arena, "anchor_ladder", ()) or ()):
                 rung_cfg = dataclasses.replace(anchor_cfg, num_sims=int(sims))
                 name = f"anchor@{int(sims)}"
-                self._rung_arenas[name] = jax.jit(
-                    make_arena_fn(
-                        game,
-                        apply_fn,
-                        uni_apply,
-                        anchor_cfg,
-                        cfg.arena.num_games,
-                        state_sharding=arena_sharding,
-                        mesh=mesh,
-                        mcts_cfg_inc=rung_cfg,
-                    )
+                # host_chunk bounds single-program duration (a multi-
+                # minute high-budget rung arena kills the TPU worker over
+                # the tunnel — measured round 5); chunked arenas manage
+                # their own jit, so no outer jax.jit here
+                self._rung_arenas[name] = make_arena_fn(
+                    game,
+                    apply_fn,
+                    uni_apply,
+                    anchor_cfg,
+                    cfg.arena.num_games,
+                    state_sharding=arena_sharding,
+                    mesh=mesh,
+                    mcts_cfg_inc=rung_cfg,
+                    host_chunk=16,
                 )
                 self._rung_chain.append(
                     (
                         prev_name,
                         name,
-                        jax.jit(
-                            make_arena_fn(
-                                game,
-                                uni_apply,
-                                uni_apply,
-                                dataclasses.replace(
-                                    anchor_cfg, num_sims=prev_sims
-                                ),
-                                cfg.arena.num_games,
-                                state_sharding=arena_sharding,
-                                mesh=mesh,
-                                mcts_cfg_inc=rung_cfg,
-                            )
+                        make_arena_fn(
+                            game,
+                            uni_apply,
+                            uni_apply,
+                            dataclasses.replace(
+                                anchor_cfg, num_sims=prev_sims
+                            ),
+                            cfg.arena.num_games,
+                            state_sharding=arena_sharding,
+                            mesh=mesh,
+                            mcts_cfg_inc=rung_cfg,
+                            host_chunk=16,
                         ),
                     )
                 )

@@ -136,10 +136,15 @@ def main():
                 # round-5 instrument (docs/ROUND5.md): dense early passes
                 # + pure-MCTS rungs keep anchored SE tight enough to
                 # resolve preset-level comparisons
-                anchor_warmup=6,
+                anchor_warmup=3,
                 anchor_warmup_mult=2,
                 pool_cross_matches=2,
-                anchor_ladder=(400, 1600),
+                # no anchor ladder here: measured on the chip, pure-MCTS
+                # scaling is nearly flat on Othello (uniform 400-vs-1600
+                # sims = 55-69-4, ~+40 Elo for 4x the budget), so rungs
+                # cannot bridge toward net strength and each high-budget
+                # rung arena costs ~5 min; warmup + cross matches carry
+                # the (relative) comparisons this preset is used for
             ),
             num_iterations=30,
             seed=args.seed,
