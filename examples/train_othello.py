@@ -33,10 +33,12 @@ def main():
     ap.add_argument(
         "--channels",
         type=int,
-        default=64,
-        help="AZResNet tower width for --preset full (the round-5 MFU "
-        "study: 128 runs the MXU at 68.7%% of peak vs 64's 52.8%%, at "
-        "4x the FLOPs — docs/ENGINES.md)",
+        default=128,
+        help="AZResNet tower width for --preset full. Default 128 by the "
+        "round-5 Elo-per-wall-clock A/B: at equal wall-clock the 128-wide "
+        "tower reached 2542+-165 anchored Elo vs 1372+-43 for 64-wide "
+        "(Othello is capacity-bound where connect-four is saturated); it "
+        "also runs the MXU at 68.7%% of peak vs 52.8%% (docs/ENGINES.md)",
     )
     ap.add_argument(
         "--blocks", type=int, default=5, help="AZResNet depth for --preset full"
